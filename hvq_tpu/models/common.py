@@ -1,0 +1,202 @@
+"""Shared engine machinery: the streaming scan step and exact finalization.
+
+This is the functional core every optimized engine composes:
+
+  scan over D tiles:   scores = ‖d‖² − 2·Q·Dᵀ  (MXU)  + predicate mask
+                       carry  = top-k'(carry ∪ tile)          [ops.topk]
+  finalize:            exact fp32 re-refinement of the k' survivors,
+                       reference-exact pad-to-k, sort ascending by distance
+
+The finalize stage reproduces the reference's tail-padding semantics
+(optimized.hpp:120-128): when fewer than k candidates pass the predicate, the
+missing slots are filled with ids ``n-1, n-2, ...`` from the *full* dataset —
+predicate ignored, duplicates allowed — and everything is ordered by true
+distance (optimized_impl.h:392-437 ``get_knn_sorted``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hvq_tpu import constants as _c
+from hvq_tpu.ops import masks as mask_ops
+from hvq_tpu.ops import topk as topk_ops
+from hvq_tpu.ops.distance import exact_distances, tile_scores
+
+
+class QueryBatch(NamedTuple):
+    """Device-ready decoded query batch (B queries)."""
+
+    qV: jnp.ndarray        # (B, 128) fp32, zero-padded query vectors
+    active_c: jnp.ndarray  # (B,) bool
+    v: jnp.ndarray         # (B,) fp32
+    active_t: jnp.ndarray  # (B,) bool
+    l: jnp.ndarray         # (B,) fp32
+    r: jnp.ndarray         # (B,) fp32
+
+
+def make_query_batch(
+    qV_np: np.ndarray,
+    qtype_np: np.ndarray,
+    v_np: np.ndarray,
+    l_np: np.ndarray,
+    r_np: np.ndarray,
+) -> QueryBatch:
+    from hvq_tpu.ops.distance import pad_vectors_np
+
+    qVp = pad_vectors_np(qV_np.astype(np.float32), _c.PADDED_DIM)
+    active_c, v, active_t, l, r = mask_ops.query_predicate_fields(
+        jnp.asarray(qtype_np), jnp.asarray(v_np), jnp.asarray(l_np), jnp.asarray(r_np)
+    )
+    return QueryBatch(jnp.asarray(qVp), active_c, v, active_t, l, r)
+
+
+def scan_database(
+    tiles: tuple,            # (Vt (nt,Dt,128), Ct, Tt, dnt) reshaped views
+    qb: QueryBatch,
+    sn: jnp.ndarray,         # traced scalar: scan limit (sample proportion)
+    kprime: int,
+    db_tile: int,
+    id_offset: jnp.ndarray | int = 0,   # global-id offset (sharded engines)
+    precision=jax.lax.Precision.HIGHEST,
+    strategy: str = "topk",
+    compute_dtype=jnp.float32,
+):
+    """Run the streaming masked-distance top-k' scan over the database tiles.
+
+    Returns (scores (B, k'), ids (B, k')) with +inf marking empty slots.
+    ``id_offset`` turns tile-local row positions into global ids so sharded
+    callers can merge across devices (the ``Knn::merge`` id space).
+    """
+    Vt, Ct, Tt, dnt = tiles
+    nt = Vt.shape[0]
+    B = qb.qV.shape[0]
+    qV = qb.qV.astype(compute_dtype)
+    bases = jnp.arange(nt, dtype=jnp.int32) * db_tile
+    lane = jax.lax.broadcasted_iota(jnp.int32, (db_tile,), 0)
+
+    init = (
+        jnp.full((B, kprime), jnp.inf, jnp.float32),
+        jnp.zeros((B, kprime), jnp.int32),
+    )
+
+    def step(carry, xs):
+        V_tile, C_tile, T_tile, dn_tile, base = xs
+        gid = base + lane + id_offset                 # global row id
+        scores = tile_scores(qV, V_tile.astype(compute_dtype), dn_tile, precision)
+        ok = mask_ops.block_mask(
+            C_tile, T_tile, gid, sn,
+            qb.active_c, qb.v, qb.active_t, qb.l, qb.r,
+        )
+        scores = jnp.where(ok, scores, jnp.inf)
+        gids = jnp.broadcast_to(gid[None, :], (B, db_tile)).astype(jnp.int32)
+        new_s, new_i = topk_ops.merge_topk(
+            carry[0], carry[1], scores, gids, kprime, strategy
+        )
+        return (new_s, new_i), None
+
+    (scores, ids), _ = jax.lax.scan(step, init, (Vt, Ct, Tt, dnt, bases))
+    return scores, ids
+
+
+def finalize(
+    cand_scores: jnp.ndarray,  # (B, k') matmul-expansion scores, +inf = empty
+    cand_ids: jnp.ndarray,     # (B, k') global ids
+    Vp: jnp.ndarray,           # (n_pad, 128) the (full, unsharded) vectors
+    qb: QueryBatch,
+    n: jnp.ndarray,            # traced scalar: true dataset size
+    k: int,
+):
+    """Exact refinement + reference-exact padding + final ascending sort.
+
+    Returns (ids (B, k) int32, dists (B, k) fp32) where dists are direct
+    fp32 Σ(q−d)² — the same quantity the .dist file recomputes (io.h:38-48).
+    """
+    valid = jnp.isfinite(cand_scores)
+    rows = jnp.take(Vp, cand_ids, axis=0)              # (B, k', 128)
+    exact = exact_distances(qb.qV, rows)
+    exact = jnp.where(valid, exact, jnp.inf)
+
+    sel_d, sel_ids = topk_ops.final_topk(exact, cand_ids, k)
+    sel_valid = jnp.isfinite(sel_d)
+    m = jnp.sum(sel_valid, axis=1, keepdims=True)      # (B, 1) passing count
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+    # Tail-pad ids n-1, n-2, ... for the k-m empty slots (optimized.hpp:120-128).
+    pad_ids = (n - 1 - (slot - m)).astype(jnp.int32)
+    final_ids = jnp.where(sel_valid, sel_ids, pad_ids)
+
+    # Recompute exact distances for the final id set (covers pads) and order
+    # everything ascending by true distance, as get_knn_sorted does.
+    rows2 = jnp.take(Vp, final_ids, axis=0)
+    final_d = exact_distances(qb.qV, rows2)
+    order = jnp.argsort(final_d, axis=1)
+    return (
+        jnp.take_along_axis(final_ids, order, axis=1),
+        jnp.take_along_axis(final_d, order, axis=1),
+    )
+
+
+def finalize_with_tail(
+    exact_scores: jnp.ndarray,  # (B, k') EXACT distances, ascending, +inf empty
+    cand_ids: jnp.ndarray,      # (B, k') global ids
+    tail_V: jnp.ndarray,        # (t, 128) replicated tail rows: tail_V[j] = V[n-1-j]
+    qb: QueryBatch,
+    n: jnp.ndarray,             # traced scalar: true dataset size
+    k: int,
+):
+    """Finalization without any cross-shard gather (sharded engines).
+
+    Same padding semantics as :func:`finalize`, but the input distances are
+    already exact (refined per shard before the merge) and pad rows come from
+    a small replicated tail block instead of the full vector table — so no
+    device ever gathers remote rows.
+    """
+    sel_d = exact_scores[:, :k]
+    sel_ids = cand_ids[:, :k]
+    valid = jnp.isfinite(sel_d)
+    m = jnp.sum(valid, axis=1, keepdims=True)
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+    pad_ids = (n - 1 - (slot - m)).astype(jnp.int32)
+    pad_pos = jnp.clip(slot - m, 0, tail_V.shape[0] - 1)
+    pad_rows = jnp.take(tail_V, pad_pos, axis=0)       # (B, k, 128)
+    pad_d = exact_distances(qb.qV, pad_rows)
+    final_ids = jnp.where(valid, sel_ids, pad_ids)
+    final_d = jnp.where(valid, sel_d, pad_d)
+    order = jnp.argsort(final_d, axis=1)
+    return (
+        jnp.take_along_axis(final_ids, order, axis=1),
+        jnp.take_along_axis(final_d, order, axis=1),
+    )
+
+
+def tail_block_np(V: np.ndarray, t: int = 128) -> np.ndarray:
+    """Host-side (t, 128) tail block: row j holds V[n-1-j], zero-padded."""
+    from hvq_tpu.ops.distance import pad_vectors_np
+
+    t = min(t, V.shape[0])
+    return pad_vectors_np(
+        np.ascontiguousarray(V[V.shape[0] - t:][::-1]).astype(np.float32),
+        _c.PADDED_DIM,
+    )
+
+
+def pad_query_arrays(qs, batch: int):
+    """Host-side: pad query arrays to a multiple of the query batch size.
+
+    Padding queries are type-0 zero-vectors; their results are sliced away.
+    """
+    m = qs.m
+    m_pad = -(-m // batch) * batch
+    if m_pad == m:
+        return qs.V, qs.qtype, qs.v, qs.l, qs.r, m_pad
+    extra = m_pad - m
+    V = np.concatenate([qs.V, np.zeros((extra, qs.V.shape[1]), np.float32)])
+    qtype = np.concatenate([qs.qtype, np.zeros(extra, np.int32)])
+    v = np.concatenate([qs.v, np.full(extra, -1.0, np.float32)])
+    l = np.concatenate([qs.l, np.full(extra, -1.0, np.float32)])
+    r = np.concatenate([qs.r, np.full(extra, -1.0, np.float32)])
+    return V, qtype, v, l, r, m_pad

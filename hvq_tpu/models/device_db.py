@@ -1,0 +1,91 @@
+"""Device-resident database layout.
+
+The reference keeps the database as a ``vector<vector<float>>`` of 102-float
+row records (io.h:111-136) and re-reads attributes and vector from the same
+cache lines per candidate. On TPU the layout is split column-wise and
+lane-aligned once at load time:
+
+* ``Vp``   (n_pad, 128)  — vectors zero-padded from 100 to 128 lanes,
+* ``C``    (n_pad,)      — categorical attribute,
+* ``T``    (n_pad,)      — timestamp attribute,
+* ``d_norms`` (n_pad,)   — precomputed ‖d‖² for the matmul expansion,
+
+with rows padded to a multiple of the database tile so a ``lax.scan`` over
+``(num_tiles, Dt, ·)`` reshapes needs no remainder handling (padding rows are
+masked out by the ``gid < sn`` term of the predicate mask).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hvq_tpu import constants as _c
+from hvq_tpu.ops.distance import pad_vectors_np
+from hvq_tpu.utils.formats import Dataset
+
+
+@dataclasses.dataclass
+class DeviceDB:
+    Vp: jnp.ndarray        # (n_pad, 128) vectors (dtype = storage dtype)
+    C: jnp.ndarray         # (n_pad,) float32
+    T: jnp.ndarray         # (n_pad,) float32
+    d_norms: jnp.ndarray   # (n_pad,) float32
+    n: int                 # true row count
+    db_tile: int
+
+    @property
+    def n_pad(self) -> int:
+        return self.Vp.shape[0]
+
+    @property
+    def num_tiles(self) -> int:
+        return self.n_pad // self.db_tile
+
+    @classmethod
+    def from_dataset(
+        cls,
+        ds: Dataset,
+        db_tile: int = 8192,
+        dtype: jnp.dtype = jnp.float32,
+        row_multiple: Optional[int] = None,
+    ) -> "DeviceDB":
+        """Upload a host Dataset, lane-padding columns and tile-padding rows.
+
+        ``row_multiple`` (default ``db_tile``) also serves the sharded engine,
+        which needs rows divisible by ``num_devices * db_tile``.
+        """
+        mult = row_multiple or db_tile
+        n = ds.n
+        n_pad = -(-n // mult) * mult
+        Vp_host = pad_vectors_np(ds.V.astype(np.float32), _c.PADDED_DIM)
+        if n_pad != n:
+            Vp_host = np.concatenate(
+                [Vp_host, np.zeros((n_pad - n, _c.PADDED_DIM), np.float32)]
+            )
+        C = np.zeros(n_pad, np.float32)
+        C[:n] = ds.C
+        T = np.zeros(n_pad, np.float32)
+        T[:n] = ds.T
+        d_norms = np.einsum("nd,nd->n", Vp_host, Vp_host).astype(np.float32)
+        return cls(
+            Vp=jnp.asarray(Vp_host, dtype=dtype),
+            C=jnp.asarray(C),
+            T=jnp.asarray(T),
+            d_norms=jnp.asarray(d_norms),
+            n=n,
+            db_tile=db_tile,
+        )
+
+    def tiles(self):
+        """Reshaped (num_tiles, Dt, ·) views for lax.scan consumption."""
+        nt, Dt = self.num_tiles, self.db_tile
+        return (
+            self.Vp.reshape(nt, Dt, self.Vp.shape[-1]),
+            self.C.reshape(nt, Dt),
+            self.T.reshape(nt, Dt),
+            self.d_norms.reshape(nt, Dt),
+        )

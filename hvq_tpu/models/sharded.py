@@ -1,0 +1,184 @@
+"""Sharded exact engine — the optimized_parallel.hpp analogue over a TPU mesh.
+
+Mapping from the reference's thread-pool design (SURVEY.md §2a/§2b):
+
+  ThreadPool static range split (threading.hpp:116-121)
+      → database rows sharded over the mesh "d" axis (jax.sharding),
+  per-thread private ``Knn`` (optimized_parallel.hpp:82-88)
+      → per-device (B, k') running top-k carried through the local scan,
+  barrier + serial ``Knn::merge`` (optimized_parallel.hpp:142-146)
+      → ``all_gather`` over ICI + one exact top-k (parallel.collectives).
+
+Candidates are *exactly refined on the shard that owns them* before the
+merge, so the cross-device traffic is just (B, k') float+id tiles and no
+device ever gathers remote vector rows; padding uses a small replicated tail
+block (models.common.finalize_with_tail).
+
+An optional "q" mesh axis additionally shards the query batch — pure query
+data-parallelism the reference lacks (it runs queries strictly sequentially,
+one fork-join per query, optimized_parallel.hpp:91).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.6 exports shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from hvq_tpu import constants as _c
+from hvq_tpu.models import common
+from hvq_tpu.models.device_db import DeviceDB
+from hvq_tpu.ops import masks as mask_ops
+from hvq_tpu.ops.distance import exact_distances, resolve_precision
+from hvq_tpu.parallel.collectives import allgather_topk_merge
+from hvq_tpu.parallel.mesh import make_mesh
+from hvq_tpu.utils.formats import Dataset, QuerySet
+
+
+class ShardedEngine:
+    """Multi-device exact scan: D rows over "d", optionally queries over "q"."""
+
+    name = "sharded"
+
+    def __init__(
+        self,
+        ds: Dataset,
+        mesh=None,
+        db_tile: int = 8192,
+        query_batch: int = 256,
+        kprime: int = 128,
+        dtype=jnp.float32,
+        precision: str = "highest",
+        topk_strategy: str = "topk",
+    ):
+        self.mesh = mesh or make_mesh()
+        self.n_d = self.mesh.shape["d"]
+        self.n_q = self.mesh.shape.get("q", 1)
+        if query_batch % max(self.n_q, 1):
+            raise ValueError("query_batch must divide over the q axis")
+        self.db = DeviceDB.from_dataset(
+            ds,
+            db_tile=db_tile,
+            dtype=dtype,
+            row_multiple=self.n_d * db_tile,
+        )
+        # Place the database row-sharded over "d" (replicated over "q").
+        row_shard = NamedSharding(self.mesh, P("d"))
+        self.db.Vp = jax.device_put(
+            self.db.Vp, NamedSharding(self.mesh, P("d", None))
+        )
+        self.db.C = jax.device_put(self.db.C, row_shard)
+        self.db.T = jax.device_put(self.db.T, row_shard)
+        self.db.d_norms = jax.device_put(self.db.d_norms, row_shard)
+        self.tail_V = jax.device_put(
+            jnp.asarray(common.tail_block_np(ds.V, t=kprime)),
+            NamedSharding(self.mesh, P()),
+        )
+        self.query_batch = query_batch
+        self.kprime = kprime
+        self.precision = resolve_precision(precision)
+        self.topk_strategy = topk_strategy
+        self.compute_dtype = dtype
+        self._search_jit = jax.jit(self._search_batch, static_argnames=("k",))
+
+    # --- jitted core -----------------------------------------------------
+    def _search_batch(self, Vp, C, T, dn, tail_V, qV, qtype, v, l, r, sn, n, k):
+        db_tile = self.db.db_tile
+        kprime = self.kprime
+        precision = self.precision
+        strategy = self.topk_strategy
+        compute_dtype = self.compute_dtype
+
+        active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
+            qtype, v, l, r
+        )
+
+        def local_scan(Vp_l, C_l, T_l, dn_l, qV_l, ac_l, v_l, at_l, l_l, r_l, sn_, n_):
+            local_n = Vp_l.shape[0]
+            nt = local_n // db_tile
+            offset = jax.lax.axis_index("d") * local_n
+            qb = common.QueryBatch(qV_l, ac_l, v_l, at_l, l_l, r_l)
+            tiles = (
+                Vp_l.reshape(nt, db_tile, Vp_l.shape[-1]),
+                C_l.reshape(nt, db_tile),
+                T_l.reshape(nt, db_tile),
+                dn_l.reshape(nt, db_tile),
+            )
+            scores, gids = common.scan_database(
+                tiles,
+                qb,
+                sn_,
+                kprime=kprime,
+                db_tile=db_tile,
+                id_offset=offset,
+                precision=precision,
+                strategy=strategy,
+                compute_dtype=compute_dtype,
+            )
+            # Exact per-shard refinement: every candidate's row is local.
+            valid = jnp.isfinite(scores)
+            local_idx = jnp.clip(gids - offset, 0, local_n - 1)
+            rows = jnp.take(Vp_l, local_idx, axis=0)
+            exact = jnp.where(valid, exact_distances(qb.qV, rows), jnp.inf)
+            # Knn::merge over ICI (optimized_parallel.hpp:142-146 analogue).
+            return allgather_topk_merge(exact, gids, kprime, axis_name="d")
+
+        merged_d, merged_ids = _shard_map(
+            local_scan,
+            mesh=self.mesh,
+            in_specs=(
+                P("d", None), P("d"), P("d"), P("d"),
+                P("q", None), P("q"), P("q"), P("q"), P("q"), P("q"),
+                P(), P(),
+            ),
+            out_specs=(P("q", None), P("q", None)),
+            check_vma=False,
+        )(Vp, C, T, dn, qV, active_c, vv, active_t, ll, rr, sn, n)
+
+        qb_global = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
+        return common.finalize_with_tail(
+            merged_d, merged_ids, tail_V, qb_global, n, k
+        )
+
+    # --- host driver -----------------------------------------------------
+    def search(
+        self,
+        qs: QuerySet,
+        k: int = _c.K_DEFAULT,
+        sample_proportion: float = 1.0,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        from hvq_tpu.ops.distance import pad_vectors_np
+
+        n = self.db.n
+        sn = jnp.int32(int(sample_proportion * n))
+        n_t = jnp.int32(n)
+        B = self.query_batch
+
+        Vq, qtype, v, l, r, m_pad = common.pad_query_arrays(qs, B)
+        qVp_all = pad_vectors_np(Vq.astype(np.float32), _c.PADDED_DIM)
+
+        qrep = NamedSharding(self.mesh, P("q"))
+        qrep2 = NamedSharding(self.mesh, P("q", None))
+        ids_out = np.empty((m_pad, k), dtype=np.uint32)
+        dists_out = np.empty((m_pad, k), dtype=np.float32)
+        for s in range(0, m_pad, B):
+            e = s + B
+            ids_b, d_b = self._search_jit(
+                self.db.Vp, self.db.C, self.db.T, self.db.d_norms,
+                self.tail_V,
+                jax.device_put(jnp.asarray(qVp_all[s:e]), qrep2),
+                jax.device_put(jnp.asarray(qtype[s:e]), qrep),
+                jax.device_put(jnp.asarray(v[s:e]), qrep),
+                jax.device_put(jnp.asarray(l[s:e]), qrep),
+                jax.device_put(jnp.asarray(r[s:e]), qrep),
+                sn, n_t, k=k,
+            )
+            ids_out[s:e] = np.asarray(ids_b).astype(np.uint32)
+            dists_out[s:e] = np.asarray(d_b)
+        return ids_out[: qs.m], dists_out[: qs.m]

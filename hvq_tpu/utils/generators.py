@@ -1,0 +1,82 @@
+"""Synthetic dataset and query generators.
+
+Capability parity with the reference's C generators (src/write_data.c:15-49,
+src/write_query.c:17-64), vectorized with NumPy instead of a per-float
+``rand()`` loop:
+
+* data records: ``C ~ U[-1, 1]``, ``T ~ U[-3, 3]``, 100 dims ``~ U[-6, 6]``
+  (write_data.c:26-42).
+* query records: ``type ~ U{0..3}``; ``v ~ U[-1, 1]`` only for types 1/3 else
+  -1; ``l ~ U[-3, 3]`` and ``r ~ U[l, 4]`` only for types 2/3 else -1; 100
+  dims ``~ U[-6, 6]`` (write_query.c:28-58).
+
+The reference generators emit a *continuous* ``C``, which makes ``C == v``
+essentially never match for random ``v`` — a quirk SURVEY.md §4 notes (the
+real contest data has *discretized* C, reference README.md:29). ``categories``
+adds the realistic mode: when set, both data ``C`` and query ``v`` are drawn
+uniformly from ``categories`` distinct discretized values, so filtered query
+types exercise non-empty candidate sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hvq_tpu import constants as _c
+from hvq_tpu.utils.formats import Dataset, QuerySet
+
+
+def _category_values(categories: int) -> np.ndarray:
+    """Discretized category levels, evenly spaced in the reference's C range."""
+    return np.linspace(-1.0, 1.0, categories, dtype=np.float32)
+
+
+def generate_dataset(
+    n: int,
+    seed: int = 0,
+    categories: int | None = None,
+) -> Dataset:
+    """Generate n records matching src/write_data.c's value distributions."""
+    rng = np.random.default_rng(seed)
+    if categories is None:
+        C = rng.uniform(-1.0, 1.0, size=n).astype(np.float32)
+    else:
+        C = rng.choice(_category_values(categories), size=n).astype(np.float32)
+    T = rng.uniform(-3.0, 3.0, size=n).astype(np.float32)
+    V = rng.uniform(-6.0, 6.0, size=(n, _c.VEC_DIM)).astype(np.float32)
+    return Dataset(C=C, T=T, V=V)
+
+
+def generate_queries(
+    m: int,
+    seed: int = 1,
+    categories: int | None = None,
+    types: tuple[int, ...] = (0, 1, 2, 3),
+) -> QuerySet:
+    """Generate m hybrid queries matching src/write_query.c's semantics.
+
+    ``types`` restricts which query types are drawn (uniformly), which the
+    reference cannot do but tests want.
+    """
+    rng = np.random.default_rng(seed)
+    qtype = rng.choice(np.asarray(types, dtype=np.int32), size=m)
+
+    has_c = np.isin(qtype, (1, 3))
+    has_t = np.isin(qtype, (2, 3))
+
+    if categories is None:
+        v_drawn = rng.uniform(-1.0, 1.0, size=m).astype(np.float32)
+    else:
+        v_drawn = rng.choice(_category_values(categories), size=m).astype(
+            np.float32
+        )
+    v = np.where(has_c, v_drawn, np.float32(-1.0)).astype(np.float32)
+
+    l_drawn = rng.uniform(-3.0, 3.0, size=m).astype(np.float32)
+    l = np.where(has_t, l_drawn, np.float32(-1.0)).astype(np.float32)
+    # write_query.c:47 draws r uniformly in [l, 4] so the range is never empty.
+    r_drawn = rng.uniform(l_drawn, 4.0).astype(np.float32)
+    r = np.where(has_t, r_drawn, np.float32(-1.0)).astype(np.float32)
+
+    V = rng.uniform(-6.0, 6.0, size=(m, _c.VEC_DIM)).astype(np.float32)
+    return QuerySet(qtype=qtype.astype(np.int32), v=v, l=l, r=r, V=V)

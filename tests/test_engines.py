@@ -1,0 +1,110 @@
+"""Differential tests: every optimized engine vs the oracle (SURVEY.md §4).
+
+The contract is the reference's: recomputed distances within 0.002
+(src/compare_data.cpp:5), never raw ids (optimized.hpp:34-41 rationale).
+We additionally check exact-path recall@100 == 1.0 with distance-tie credit.
+"""
+
+import numpy as np
+import pytest
+
+from hvq_tpu.models.batched import BatchedEngine
+from hvq_tpu.models.sharded import ShardedEngine
+from hvq_tpu.utils.compare import recall_at_k
+from hvq_tpu.utils.generators import generate_dataset, generate_queries
+
+from conftest import assert_results_match
+
+
+@pytest.fixture(scope="module")
+def batched(small_ds):
+    return BatchedEngine(small_ds, db_tile=256, query_batch=32, kprime=128)
+
+
+def test_batched_matches_oracle(small_ds, small_qs, oracle_small, batched):
+    oids, odists = oracle_small
+    ids, dists = batched.search(small_qs)
+    assert ids.shape == (small_qs.m, 100)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+    rec = recall_at_k(ids, oids, dists, odists)
+    assert rec == 1.0, f"exact engine recall {rec} < 1.0"
+
+
+def test_batched_all_types_individually(small_ds):
+    from hvq_tpu.models.oracle import search_oracle
+
+    eng = BatchedEngine(small_ds, db_tile=512, query_batch=16)
+    for qtype in (0, 1, 2, 3):
+        qs = generate_queries(16, seed=100 + qtype, categories=20, types=(qtype,))
+        oids, odists = search_oracle(small_ds, qs)
+        ids, dists = eng.search(qs)
+        assert_results_match(small_ds, qs, ids, dists, oids, odists)
+
+
+def test_batched_sample_proportion(small_ds, small_qs, batched):
+    from hvq_tpu.models.oracle import search_oracle
+
+    oids, odists = search_oracle(small_ds, small_qs, sample_proportion=0.37)
+    ids, dists = batched.search(small_qs, sample_proportion=0.37)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+
+
+def test_batched_heavy_padding():
+    """A category value with almost no rows forces the tail-pad path."""
+    from hvq_tpu.models.oracle import search_oracle
+    from hvq_tpu.utils.formats import QuerySet
+
+    ds = generate_dataset(1500, seed=9, categories=500)  # ~3 rows/category
+    qs = generate_queries(8, seed=10, categories=500, types=(1, 3))
+    oids, odists = search_oracle(ds, qs)
+    eng = BatchedEngine(ds, db_tile=256, query_batch=8)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+
+
+def test_batched_nondivisible_sizes():
+    """Row/query counts that don't divide the tiles exercise the padding."""
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(777, seed=12, categories=5)
+    qs = generate_queries(13, seed=13, categories=5)
+    eng = BatchedEngine(ds, db_tile=256, query_batch=8)
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+
+
+def test_sharded_matches_oracle(small_ds, small_qs, oracle_small):
+    import jax
+
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    eng = ShardedEngine(small_ds, db_tile=64, query_batch=32, kprime=128)
+    oids, odists = oracle_small
+    ids, dists = eng.search(small_qs)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+    rec = recall_at_k(ids, oids, dists, odists)
+    assert rec == 1.0
+
+
+def test_sharded_query_axis(small_ds, small_qs, oracle_small):
+    """2×4 (q, d) mesh: queries sharded too."""
+    from hvq_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_db_shards=4, n_query_shards=2)
+    eng = ShardedEngine(
+        small_ds, mesh=mesh, db_tile=64, query_batch=32, kprime=128
+    )
+    oids, odists = oracle_small
+    ids, dists = eng.search(small_qs)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+
+
+def test_sharded_padding_path(small_ds):
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(1200, seed=21, categories=400)
+    qs = generate_queries(8, seed=22, categories=400, types=(1, 3))
+    eng = ShardedEngine(ds, db_tile=32, query_batch=8)
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)

@@ -1,0 +1,98 @@
+"""Benchmark runner: hybrid k-NN QPS on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Default config mirrors the reference's medium set (D=10^6, Q=10^4,
+BASELINE.md: best 68.11 s on 6 CPU threads => 146.8 QPS). Environment
+overrides:
+
+  HVQ_BENCH_N        database rows        (default 1_000_000)
+  HVQ_BENCH_Q        total queries        (default 10_000)
+  HVQ_BENCH_ENGINE   engine name          (default "batched")
+  HVQ_BENCH_BASELINE baseline QPS         (default computed from N)
+  HVQ_BENCH_CATS     category count       (default 1000, contest-like)
+
+Baseline QPS (reference, i5-8400 6C best case, BASELINE.md):
+  D=10^4:  10^4 q / 0.66 s  = 15152 QPS   (report "Optimization #2")
+  D=10^6:  10^4 q / 68.11 s =   147 QPS   (pptx chart5)
+  D=10^7:  10^4 q / 664 s   =    15 QPS   (pptx chart6)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _baseline_qps(n: int) -> float:
+    if n >= 5_000_000:
+        return 10_000 / 664.0
+    if n >= 500_000:
+        return 10_000 / 68.11
+    return 10_000 / 0.66
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+    import numpy as np
+
+    from hvq_tpu.models.registry import get_engine
+    from hvq_tpu.utils.generators import generate_dataset, generate_queries
+    from hvq_tpu.utils.timing import PhaseTimer
+
+    n = int(os.environ.get("HVQ_BENCH_N", 1_000_000))
+    q = int(os.environ.get("HVQ_BENCH_Q", 10_000))
+    engine_name = os.environ.get("HVQ_BENCH_ENGINE", "batched")
+    cats = int(os.environ.get("HVQ_BENCH_CATS", 1000))
+    baseline = float(os.environ.get("HVQ_BENCH_BASELINE", _baseline_qps(n)))
+
+    timer = PhaseTimer()
+    with timer.phase("generate"):
+        ds = generate_dataset(n, seed=0, categories=cats)
+        qs = generate_queries(q, seed=1, categories=cats)
+
+    with timer.phase("build"):
+        engine = get_engine(engine_name)(ds)
+
+    # Warmup: compile all program shapes on a small prefix of the queries.
+    warm = type(qs)(
+        qtype=qs.qtype[: engine.query_batch],
+        v=qs.v[: engine.query_batch],
+        l=qs.l[: engine.query_batch],
+        r=qs.r[: engine.query_batch],
+        V=qs.V[: engine.query_batch],
+    )
+    with timer.phase("warmup_compile"):
+        engine.search(warm)
+
+    with timer.phase("search"):
+        t0 = time.perf_counter()
+        ids, dists = engine.search(qs)
+        wall = time.perf_counter() - t0
+
+    qps = q / wall
+    timer.report(stream=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": f"exact_hybrid_knn_qps_D{n}_Q{q}",
+                "value": round(qps, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / baseline, 2),
+                "baseline_qps": round(baseline, 2),
+                "wall_s": round(wall, 3),
+                "engine": engine_name,
+                "device": str(jax.devices()[0]),
+                "recall_note": "exact engine; recall@100=1.0 vs oracle by construction (see tests)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

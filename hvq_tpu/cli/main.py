@@ -1,0 +1,180 @@
+"""Command-line drivers — runtime config replacing the reference's
+compile-time preprocessor selection (SURVEY.md §5 "Config / flag system").
+
+Subcommands:
+
+* ``run``       — the src/test.cpp:20-112 analogue: read D and Q, run an
+                  engine with perf instrumentation, write ``output.bin``
+                  (headerless ids) and ``output.bin.dist`` (recomputed
+                  distances). Engine/dataset/k/threads were compile-time
+                  defines there (``IMPL``, ``DATASET``, ``NUM_THREADS``);
+                  here they are flags, since JIT specialization replaces
+                  preprocessor specialization.
+* ``compare``   — the src/compare_data.cpp:80-108 analogue: pairwise
+                  element-wise diff of ``<path>.dist`` files under the 0.002
+                  tolerance; optional recall against the last file.
+* ``gen-data``  — src/write_data.c analogue (vectorized).
+* ``gen-queries`` — src/write_query.c analogue.
+
+Exit codes: 0 = ok/similar, 1 = usage error, 2 = comparison found
+differences beyond tolerance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_run(args) -> int:
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+
+    from hvq_tpu.models.registry import get_engine
+    from hvq_tpu.utils import formats
+    from hvq_tpu.utils.timing import PhaseTimer
+
+    timer = PhaseTimer()
+    with timer.phase("read_data"):
+        ds = formats.read_data_bin(args.data)
+        qs = formats.read_query_bin(args.queries)
+    print(f"# data points:  {ds.n}", file=sys.stderr)
+    print(f"# queries:      {qs.m}", file=sys.stderr)
+
+    kwargs = {}
+    if args.engine not in ("oracle",):
+        kwargs.update(
+            db_tile=args.db_tile,
+            query_batch=args.query_batch,
+            precision=args.precision,
+        )
+    with timer.phase("build_engine"):
+        engine = get_engine(args.engine)(ds, **kwargs)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    t0 = time.perf_counter()
+    ids, dists = engine.search(
+        qs, k=args.k, sample_proportion=args.sample_proportion
+    )
+    wall = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+    timer.add("search", wall)
+
+    with timer.phase("write_results"):
+        formats.save_knn(ids, args.output)
+        if args.save_dist:
+            formats.save_knn_dist(ds, qs, ids, args.output + ".dist")
+    timer.report()
+    print(
+        f"search: {wall:.3f} s  ({qs.m / wall:.1f} QPS, "
+        f"{wall / qs.m * 1e3:.3f} ms/query)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _cmd_compare(args) -> int:
+    from hvq_tpu.utils import formats
+    from hvq_tpu.utils.compare import compare_distances
+
+    paths = [p if p.endswith(".dist") else p + ".dist" for p in args.files]
+    worst = "same"
+    rank = {"same": 0, "similar": 1, "different": 2}
+    for i in range(len(paths)):
+        for j in range(i + 1, len(paths)):
+            a = formats.read_dist(paths[i])
+            b = formats.read_dist(paths[j])
+            res = compare_distances(a, b, tolerance=args.tolerance)
+            print(
+                f"{paths[i]} vs {paths[j]}: {res.status} "
+                f"(max |Δ| = {res.max_abs_diff:.6g}, "
+                f"{res.num_exceeding}/{res.total} beyond {args.tolerance})"
+            )
+            if rank[res.status] > rank[worst]:
+                worst = res.status
+    return 2 if worst == "different" else 0
+
+
+def _cmd_gen_data(args) -> int:
+    from hvq_tpu.utils import formats
+    from hvq_tpu.utils.generators import generate_dataset
+
+    ds = generate_dataset(args.n, seed=args.seed, categories=args.categories)
+    formats.write_data_bin(args.path, ds)
+    print(f"wrote {args.n} records to {args.path}", file=sys.stderr)
+    return 0
+
+
+def _cmd_gen_queries(args) -> int:
+    from hvq_tpu.utils import formats
+    from hvq_tpu.utils.generators import generate_queries
+
+    qs = generate_queries(args.m, seed=args.seed, categories=args.categories)
+    formats.write_query_bin(args.path, qs)
+    print(f"wrote {args.m} queries to {args.path}", file=sys.stderr)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hvq_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run hybrid k-NN queries (test.cpp analogue)")
+    r.add_argument("--data", required=True)
+    r.add_argument("--queries", required=True)
+    r.add_argument("--output", default="output.bin")
+    r.add_argument("--engine", default="batched")
+    r.add_argument("--k", type=int, default=100)
+    r.add_argument("--sample-proportion", type=float, default=1.0)
+    r.add_argument("--db-tile", type=int, default=8192)
+    r.add_argument("--query-batch", type=int, default=256)
+    r.add_argument("--precision", default="highest",
+                   choices=("highest", "high", "default"))
+    r.add_argument("--save-dist", action=argparse.BooleanOptionalAction,
+                   default=True, help="also write <output>.dist")
+    r.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
+    r.add_argument("--platform", help="force a JAX platform (e.g. cpu)")
+    r.add_argument("--cache-dir", help="persistent XLA compilation cache")
+    r.set_defaults(fn=_cmd_run)
+
+    c = sub.add_parser("compare",
+                       help="pairwise-diff .dist files (compare_data.cpp analogue)")
+    c.add_argument("files", nargs="+")
+    c.add_argument("--tolerance", type=float, default=0.002)
+    c.set_defaults(fn=_cmd_compare)
+
+    gd = sub.add_parser("gen-data", help="synthetic dataset (write_data.c analogue)")
+    gd.add_argument("path")
+    gd.add_argument("n", type=int)
+    gd.add_argument("--seed", type=int, default=0)
+    gd.add_argument("--categories", type=int, default=None)
+    gd.set_defaults(fn=_cmd_gen_data)
+
+    gq = sub.add_parser("gen-queries", help="synthetic queries (write_query.c analogue)")
+    gq.add_argument("path")
+    gq.add_argument("m", type=int)
+    gq.add_argument("--seed", type=int, default=1)
+    gq.add_argument("--categories", type=int, default=None)
+    gq.set_defaults(fn=_cmd_gen_queries)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

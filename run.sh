@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Differential run harness — the reference run.sh analogue: run the oracle
+# and the optimized engines on the same D/Q, then pairwise-compare the
+# .dist files under the 0.002 tolerance (reference run.sh:8-18).
+#
+# Usage: ./run.sh [N] [M] [workdir]
+set -euo pipefail
+
+N="${1:-10000}"
+M="${2:-100}"
+DIR="${3:-./run_out}"
+mkdir -p "$DIR/logs"
+
+echo "== generating D=$N Q=$M (discretized C) =="
+python -m hvq_tpu.cli gen-data "$DIR/data.bin" "$N" --categories 100
+python -m hvq_tpu.cli gen-queries "$DIR/query.bin" "$M" --categories 100
+
+for ENGINE in oracle batched sharded; do
+  echo "== engine: $ENGINE =="
+  python -m hvq_tpu.cli run \
+    --data "$DIR/data.bin" --queries "$DIR/query.bin" \
+    --engine "$ENGINE" --output "$DIR/$ENGINE.bin" \
+    --cache-dir /tmp/jax_bench_cache \
+    > "$DIR/logs/$ENGINE.txt" 2>&1 || { tail -5 "$DIR/logs/$ENGINE.txt"; exit 1; }
+  tail -2 "$DIR/logs/$ENGINE.txt"
+done
+
+echo "== differential comparison =="
+python -m hvq_tpu.cli compare "$DIR/oracle.bin" "$DIR/batched.bin" "$DIR/sharded.bin"

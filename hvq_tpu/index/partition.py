@@ -1,0 +1,187 @@
+"""Category-partitioned / timestamp-sorted index layouts.
+
+The capability the reference lacks but the north star demands
+(SURVEY.md §7 stage 5, BASELINE.json config 3): reorder the database so the
+predicate of each query type maps to a *contiguous row range* of a sorted
+view, computed by binary search on the host, and only the database tiles
+overlapping that range are scanned on device.
+
+Two views (each ~1 database copy; both fit in HBM beside each other for the
+10M contest set):
+
+* ``cat_view`` — rows sorted by (C, T). Type-1 queries (``C == v``) become
+  the partition range of ``v``; type-3 queries narrow that partition further
+  by binary search on its (sorted) timestamps. Type-0 queries scan the whole
+  view (no pruning possible — and none needed).
+* ``time_view`` — rows sorted by T globally. Type-2 queries
+  (``l <= T <= r``) become one contiguous range.
+
+Index build never looks at query vectors (reference README.md:68's
+prohibition); it is a pure permutation of D plus sort keys kept on the host
+for ``searchsorted``. Original ids ride along as an ``oid`` column so results
+(and the reference's original-file-order ``sample_proportion`` limit,
+optimized.hpp:85) stay in the original id space.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from hvq_tpu import constants as _c
+from hvq_tpu.ops.distance import pad_vectors_np
+from hvq_tpu.utils.formats import Dataset
+
+
+@dataclasses.dataclass
+class SortedView:
+    """One reordered device-resident database copy + host sort keys."""
+
+    # device arrays, rows padded to a multiple of db_tile
+    Vp: jnp.ndarray       # (n_pad, 128)
+    C: jnp.ndarray        # (n_pad,)
+    T: jnp.ndarray        # (n_pad,)
+    d_norms: jnp.ndarray  # (n_pad,)
+    oid: jnp.ndarray      # (n_pad,) int32 original ids (padding rows: n)
+    # host metadata
+    C_key: np.ndarray     # (n,) reordered C values (sorted view order)
+    T_key: np.ndarray     # (n,) reordered T values
+    n: int
+    db_tile: int
+
+    @property
+    def n_pad(self) -> int:
+        return self.Vp.shape[0]
+
+    @property
+    def num_tiles(self) -> int:
+        return self.n_pad // self.db_tile
+
+    def tiles(self):
+        nt, Dt = self.num_tiles, self.db_tile
+        return (
+            self.Vp.reshape(nt, Dt, self.Vp.shape[-1]),
+            self.C.reshape(nt, Dt),
+            self.T.reshape(nt, Dt),
+            self.d_norms.reshape(nt, Dt),
+        )
+
+    def oid_tiles(self):
+        return self.oid.reshape(self.num_tiles, self.db_tile)
+
+
+def _build_view(ds: Dataset, perm: np.ndarray, db_tile: int, dtype) -> SortedView:
+    n = ds.n
+    n_pad = -(-n // db_tile) * db_tile
+    V = pad_vectors_np(ds.V[perm].astype(np.float32), _c.PADDED_DIM)
+    d_norms = np.einsum("nd,nd->n", V, V).astype(np.float32)
+
+    def _pad(a, fill):
+        out = np.full(n_pad, fill, dtype=a.dtype)
+        out[:n] = a
+        return out
+
+    Vfull = np.zeros((n_pad, _c.PADDED_DIM), np.float32)
+    Vfull[:n] = V
+    C_r = ds.C[perm]
+    T_r = ds.T[perm]
+    return SortedView(
+        Vp=jnp.asarray(Vfull, dtype=dtype),
+        C=jnp.asarray(_pad(C_r, np.float32(np.inf))),
+        T=jnp.asarray(_pad(T_r, np.float32(np.inf))),
+        d_norms=jnp.asarray(_pad(d_norms, np.float32(0.0))),
+        oid=jnp.asarray(
+            np.concatenate(
+                [perm.astype(np.int32), np.full(n_pad - n, n, np.int32)]
+            )
+        ),
+        C_key=np.ascontiguousarray(C_r),
+        T_key=np.ascontiguousarray(T_r),
+        n=n,
+        db_tile=db_tile,
+    )
+
+
+@dataclasses.dataclass
+class PartitionedIndex:
+    cat_view: SortedView
+    time_view: SortedView
+
+    @classmethod
+    def build(cls, ds: Dataset, db_tile: int = 8192, dtype=jnp.float32):
+        cat_perm = np.lexsort((ds.T, ds.C)).astype(np.int64)  # C major, T minor
+        time_perm = np.argsort(ds.T, kind="stable").astype(np.int64)
+        return cls(
+            cat_view=_build_view(ds, cat_perm, db_tile, dtype),
+            time_view=_build_view(ds, time_perm, db_tile, dtype),
+        )
+
+    # ---- host-side range resolution (binary search on sort keys) --------
+    def query_ranges(
+        self,
+        qtype: np.ndarray,
+        v: np.ndarray,
+        l: np.ndarray,
+        r: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per query: (view_id, start, end) — 0 = cat_view, 1 = time_view.
+
+        The range is the exact candidate span in the chosen view; every row
+        outside it is guaranteed to fail the predicate.
+        """
+        m = qtype.shape[0]
+        view = np.where(qtype == 2, 1, 0).astype(np.int32)
+        start = np.zeros(m, np.int64)
+        end = np.full(m, self.cat_view.n, np.int64)
+
+        cv, tv = self.cat_view, self.time_view
+        is1 = qtype == 1
+        is2 = qtype == 2
+        is3 = qtype == 3
+        if is1.any() or is3.any():
+            sel = is1 | is3
+            s = np.searchsorted(cv.C_key, v[sel], side="left")
+            e = np.searchsorted(cv.C_key, v[sel], side="right")
+            start[sel], end[sel] = s, e
+        if is3.any():
+            # narrow the partition by its (sorted) timestamps
+            idx3 = np.nonzero(is3)[0]
+            for i in idx3:
+                s, e = start[i], end[i]
+                seg = cv.T_key[s:e]
+                start[i] = s + np.searchsorted(seg, l[i], side="left")
+                end[i] = s + np.searchsorted(seg, r[i], side="right")
+        if is2.any():
+            start[is2] = np.searchsorted(tv.T_key, l[is2], side="left")
+            end[is2] = np.searchsorted(tv.T_key, r[is2], side="right")
+        return view, start, end
+
+
+def tiles_for_ranges(
+    start: np.ndarray, end: np.ndarray, db_tile: int, num_tiles: int
+) -> np.ndarray:
+    """Union of tile indices overlapping any [start, end) range, sorted.
+
+    Empty ranges contribute nothing; callers handle all-empty batches (the
+    result may be a zero-length array).
+    """
+    mask = np.zeros(num_tiles, dtype=bool)
+    for s, e in zip(start, end):
+        if e > s:
+            mask[s // db_tile : (e - 1) // db_tile + 1] = True
+    return np.nonzero(mask)[0].astype(np.int32)
+
+
+def pad_tile_list(tiles: np.ndarray, bucket: int | None = None) -> np.ndarray:
+    """Pad a tile list to a power-of-two bucket with -1 (skipped tiles).
+
+    Bucketing bounds the number of distinct jit specializations to
+    log2(num_tiles) per (view, batch-size) pair.
+    """
+    count = max(int(tiles.shape[0]), 1)
+    size = bucket or (1 << (count - 1).bit_length())
+    out = np.full(size, -1, np.int32)
+    out[: tiles.shape[0]] = tiles
+    return out

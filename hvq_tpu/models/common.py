@@ -65,18 +65,26 @@ def scan_database(
     precision=jax.lax.Precision.HIGHEST,
     strategy: str = "topk",
     compute_dtype=jnp.float32,
+    oid_tiles: jnp.ndarray | None = None,  # (nt, Dt) original ids (reordered views)
+    tile_index: jnp.ndarray | None = None,  # (nt,) which tiles to scan (pruned)
 ):
     """Run the streaming masked-distance top-k' scan over the database tiles.
 
     Returns (scores (B, k'), ids (B, k')) with +inf marking empty slots.
     ``id_offset`` turns tile-local row positions into global ids so sharded
     callers can merge across devices (the ``Knn::merge`` id space).
+
+    Index-layer hooks: when the database is a *reordered view* (partitioned /
+    IVF layouts), ``oid_tiles`` carries each row's original id — the
+    sample-proportion limit tests the ORIGINAL id (the reference's ``j < sn``
+    is over file order, optimized.hpp:85) and reported ids are original ids,
+    while the carry tracks view positions for local gathers. ``tile_index``
+    scans only the listed tiles (tile pruning): entries < 0 are skipped via a
+    mask of the whole tile.
     """
     Vt, Ct, Tt, dnt = tiles
-    nt = Vt.shape[0]
     B = qb.qV.shape[0]
     qV = qb.qV.astype(compute_dtype)
-    bases = jnp.arange(nt, dtype=jnp.int32) * db_tile
     lane = jax.lax.broadcasted_iota(jnp.int32, (db_tile,), 0)
 
     init = (
@@ -84,22 +92,53 @@ def scan_database(
         jnp.zeros((B, kprime), jnp.int32),
     )
 
-    def step(carry, xs):
-        V_tile, C_tile, T_tile, dn_tile, base = xs
-        gid = base + lane + id_offset                 # global row id
+    def body(carry, V_tile, C_tile, T_tile, dn_tile, base, oid_tile, live):
+        pos = base + lane + id_offset                 # row position in view
+        row_id = pos if oid_tile is None else oid_tile
         scores = tile_scores(qV, V_tile.astype(compute_dtype), dn_tile, precision)
         ok = mask_ops.block_mask(
-            C_tile, T_tile, gid, sn,
+            C_tile, T_tile, row_id, sn,
             qb.active_c, qb.v, qb.active_t, qb.l, qb.r,
         )
+        if live is not None:
+            ok = ok & live
         scores = jnp.where(ok, scores, jnp.inf)
-        gids = jnp.broadcast_to(gid[None, :], (B, db_tile)).astype(jnp.int32)
-        new_s, new_i = topk_ops.merge_topk(
-            carry[0], carry[1], scores, gids, kprime, strategy
+        ids = jnp.broadcast_to(pos[None, :], (B, db_tile)).astype(jnp.int32)
+        return topk_ops.merge_topk(
+            carry[0], carry[1], scores, ids, kprime, strategy
         )
-        return (new_s, new_i), None
 
-    (scores, ids), _ = jax.lax.scan(step, init, (Vt, Ct, Tt, dnt, bases))
+    if tile_index is None:
+        bases = jnp.arange(Vt.shape[0], dtype=jnp.int32) * db_tile
+        xs = (Vt, Ct, Tt, dnt, bases, oid_tiles)
+
+        def step(carry, xs):
+            V_tile, C_tile, T_tile, dn_tile, base, oid_tile = xs
+            return body(carry, V_tile, C_tile, T_tile, dn_tile, base,
+                        oid_tile, None), None
+
+        (scores, ids), _ = jax.lax.scan(step, init, xs)
+    else:
+        # Pruned scan: dynamically gather each listed tile. Negative indices
+        # mark padding slots — their whole tile is masked out.
+        ti = jnp.asarray(tile_index, jnp.int32)
+
+        def step(carry, t):
+            safe = jnp.maximum(t, 0)
+            V_tile = jax.lax.dynamic_index_in_dim(Vt, safe, keepdims=False)
+            C_tile = jax.lax.dynamic_index_in_dim(Ct, safe, keepdims=False)
+            T_tile = jax.lax.dynamic_index_in_dim(Tt, safe, keepdims=False)
+            dn_tile = jax.lax.dynamic_index_in_dim(dnt, safe, keepdims=False)
+            oid_tile = (
+                None if oid_tiles is None
+                else jax.lax.dynamic_index_in_dim(oid_tiles, safe, keepdims=False)
+            )
+            live = jnp.broadcast_to((t >= 0)[None, None], (B, db_tile))
+            base = safe * db_tile
+            return body(carry, V_tile, C_tile, T_tile, dn_tile, base,
+                        oid_tile, live), None
+
+        (scores, ids), _ = jax.lax.scan(step, init, ti)
     return scores, ids
 
 
@@ -166,6 +205,44 @@ def finalize_with_tail(
     pad_d = exact_distances(qb.qV, pad_rows)
     final_ids = jnp.where(valid, sel_ids, pad_ids)
     final_d = jnp.where(valid, sel_d, pad_d)
+    order = jnp.argsort(final_d, axis=1)
+    return (
+        jnp.take_along_axis(final_ids, order, axis=1),
+        jnp.take_along_axis(final_d, order, axis=1),
+    )
+
+
+def finalize_view(
+    cand_scores: jnp.ndarray,  # (B, k') matmul scores over a reordered view
+    cand_pos: jnp.ndarray,     # (B, k') positions WITHIN the view
+    V_view: jnp.ndarray,       # (n_pad, 128) the view's vectors
+    oid: jnp.ndarray,          # (n_pad,) original ids of view rows
+    tail_V: jnp.ndarray,       # (t, 128) original-order tail rows (pads)
+    qb: QueryBatch,
+    n: jnp.ndarray,
+    k: int,
+):
+    """Finalization for reordered-view engines (partitioned / IVF layouts).
+
+    Refines by gathering *view* rows (local, contiguous-ish), then maps
+    positions back to original ids; tail-padding semantics identical to
+    :func:`finalize` (reference optimized.hpp:120-128).
+    """
+    valid = jnp.isfinite(cand_scores)
+    rows = jnp.take(V_view, cand_pos, axis=0)
+    exact = jnp.where(valid, exact_distances(qb.qV, rows), jnp.inf)
+
+    sel_d, sel_pos = topk_ops.final_topk(exact, cand_pos, k)
+    sel_valid = jnp.isfinite(sel_d)
+    m = jnp.sum(sel_valid, axis=1, keepdims=True)
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+    pad_ids = (n - 1 - (slot - m)).astype(jnp.int32)
+    pad_pos = jnp.clip(slot - m, 0, tail_V.shape[0] - 1)
+    pad_d = exact_distances(qb.qV, jnp.take(tail_V, pad_pos, axis=0))
+
+    orig = jnp.take(oid, sel_pos, axis=0).astype(jnp.int32)
+    final_ids = jnp.where(sel_valid, orig, pad_ids)
+    final_d = jnp.where(sel_valid, sel_d, pad_d)
     order = jnp.argsort(final_d, axis=1)
     return (
         jnp.take_along_axis(final_ids, order, axis=1),

@@ -92,8 +92,17 @@ def _read_records(path: str | os.PathLike, record_dim: int) -> np.ndarray:
     """Read a count-prefixed float32 record file into an (N, record_dim) array.
 
     Format authority: reference io.h:111-136 (``uint32 N`` then N records).
+    Uses the native mmap reader (hvq_tpu.native) when built — parallel
+    copy-out matters at the 4 GB large-set scale; NumPy memmap otherwise.
     """
     path = os.fspath(path)
+    try:
+        from hvq_tpu import native
+
+        if native.available():
+            return native.read_records(path, record_dim)
+    except Exception:
+        pass  # fall back to the NumPy path
     header = np.fromfile(path, dtype=np.uint32, count=1)
     if header.size != 1:
         raise ValueError(f"{path}: missing uint32 count header")

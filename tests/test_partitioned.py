@@ -1,0 +1,93 @@
+"""Partitioned-engine differential tests + index-layer unit tests."""
+
+import numpy as np
+import pytest
+
+from hvq_tpu.index.partition import (
+    PartitionedIndex,
+    pad_tile_list,
+    tiles_for_ranges,
+)
+from hvq_tpu.models.oracle import search_oracle
+from hvq_tpu.models.partitioned import PartitionedEngine
+from hvq_tpu.utils.compare import recall_at_k
+from hvq_tpu.utils.generators import generate_dataset, generate_queries
+
+from conftest import assert_results_match
+
+
+def test_query_ranges_exact():
+    """Ranges must cover exactly the predicate-passing rows."""
+    ds = generate_dataset(3000, seed=1, categories=12)
+    qs = generate_queries(200, seed=2, categories=12)
+    idx = PartitionedIndex.build(ds, db_tile=256)
+    view_id, start, end = idx.query_ranges(qs.qtype, qs.v, qs.l, qs.r)
+    for i in range(qs.m):
+        t = int(qs.qtype[i])
+        if t in (1, 3):
+            passing = ds.C == qs.v[i]
+            if t == 3:
+                passing &= (ds.T >= qs.l[i]) & (ds.T <= qs.r[i])
+            assert view_id[i] == 0
+        elif t == 2:
+            passing = (ds.T >= qs.l[i]) & (ds.T <= qs.r[i])
+            assert view_id[i] == 1
+        else:
+            assert (start[i], end[i]) == (0, ds.n)
+            continue
+        assert end[i] - start[i] == passing.sum(), f"query {i} type {t}"
+
+
+def test_tiles_for_ranges():
+    t = tiles_for_ranges(np.array([0, 700]), np.array([100, 800]), 256, 8)
+    np.testing.assert_array_equal(t, [0, 2, 3])
+    assert tiles_for_ranges(np.array([5]), np.array([5]), 256, 8).size == 0
+    padded = pad_tile_list(np.array([1, 2, 3], np.int32))
+    assert padded.size == 4 and padded[-1] == -1
+
+
+@pytest.fixture(scope="module")
+def part_engine(small_ds):
+    return PartitionedEngine(small_ds, db_tile=128, query_batch=32)
+
+
+def test_partitioned_matches_oracle(small_ds, small_qs, oracle_small, part_engine):
+    oids, odists = oracle_small
+    ids, dists = part_engine.search(small_qs)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_partitioned_all_types(small_ds, part_engine):
+    for qtype in (0, 1, 2, 3):
+        qs = generate_queries(16, seed=200 + qtype, categories=20, types=(qtype,))
+        oids, odists = search_oracle(small_ds, qs)
+        ids, dists = part_engine.search(qs)
+        assert_results_match(small_ds, qs, ids, dists, oids, odists)
+
+
+def test_partitioned_sample_proportion(small_ds, small_qs, part_engine):
+    """sn applies to ORIGINAL file order even though views are reordered."""
+    oids, odists = search_oracle(small_ds, small_qs, sample_proportion=0.41)
+    ids, dists = part_engine.search(small_qs, sample_proportion=0.41)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+
+
+def test_partitioned_empty_predicate():
+    """A category value matching nothing → all tail padding."""
+    from hvq_tpu.utils.formats import QuerySet
+
+    ds = generate_dataset(600, seed=5, categories=4)
+    qs = QuerySet(
+        qtype=np.array([1], np.int32),
+        v=np.array([0.123456], np.float32),  # not a category level
+        l=np.array([-1], np.float32),
+        r=np.array([-1], np.float32),
+        V=np.zeros((1, 100), np.float32),
+    )
+    eng = PartitionedEngine(ds, db_tile=128, query_batch=8)
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    # all results are tail pads n-1..n-100 in distance order
+    assert set(ids[0]) == set(range(500, 600))

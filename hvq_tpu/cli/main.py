@@ -46,15 +46,34 @@ def _cmd_run(args) -> int:
     print(f"# data points:  {ds.n}", file=sys.stderr)
     print(f"# queries:      {qs.m}", file=sys.stderr)
 
-    kwargs = {}
-    if args.engine not in ("oracle",):
-        kwargs.update(
+    import inspect
+
+    engine_cls = get_engine(args.engine)
+    accepted = inspect.signature(engine_cls.__init__).parameters
+    kwargs = {
+        k: v
+        for k, v in dict(
             db_tile=args.db_tile,
             query_batch=args.query_batch,
             precision=args.precision,
-        )
+        ).items()
+        if k in accepted
+    }
+    for opt in args.engine_opt or ():
+        key, _, val = opt.partition("=")
+        if key not in accepted:
+            print(f"warning: {args.engine} ignores --engine-opt {key}",
+                  file=sys.stderr)
+            continue
+        try:
+            kwargs[key] = int(val)
+        except ValueError:
+            try:
+                kwargs[key] = float(val)
+            except ValueError:
+                kwargs[key] = val
     with timer.phase("build_engine"):
-        engine = get_engine(args.engine)(ds, **kwargs)
+        engine = engine_cls(ds, **kwargs)
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -140,6 +159,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--query-batch", type=int, default=256)
     r.add_argument("--precision", default="highest",
                    choices=("highest", "high", "default"))
+    r.add_argument("--engine-opt", action="append", metavar="KEY=VALUE",
+                   help="extra engine kwargs (e.g. nprobe=32, cap=512)")
     r.add_argument("--save-dist", action=argparse.BooleanOptionalAction,
                    default=True, help="also write <output>.dist")
     r.add_argument("--profile", metavar="DIR",

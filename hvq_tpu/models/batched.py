@@ -4,12 +4,20 @@ Where the reference streams one candidate at a time through an AVX2 distance
 kernel into a 100-slot array (include/optimized.hpp:54-146), this engine:
 
 * batches ``query_batch`` queries into one (B, 128) block,
-* scans the database in ``db_tile``-row tiles under ``lax.scan``,
+* scans the database in ``db_tile``-row tiles,
 * computes each (B, Dt) distance tile as a ‖d‖² − 2·Q·Dᵀ MXU matmul with the
   predicate mask fused in (ops.distance / ops.masks),
-* carries a running (B, k') top-k' through the scan (ops.topk),
-* exactly re-refines the k' survivors in fp32 and applies the reference's
-  pad-to-k semantics (models.common.finalize).
+* selects k' candidates per query, then exactly re-refines them in fp32 and
+  applies the reference's pad-to-k semantics (models.common.finalize).
+
+Two scan implementations (``scan_impl``):
+
+* ``"pallas"`` (default on TPU) — the fused Pallas kernel
+  (ops.pallas_scan): matmul + mask + top-2-per-128-lane-bin partial reduce
+  in VMEM, one ``lax.top_k`` over the surviving bin candidates per batch.
+  Measured ~7× the throughput of the streaming-top-k path at 10⁶ rows.
+* ``"xla"`` — ``lax.scan`` with an exact per-tile ``lax.top_k`` merge
+  (ops.topk), the certified-exact reference path and the portable fallback.
 
 Everything under ``jit`` is shape-static: query count is padded to the batch
 size, database rows to the tile size; ``sn`` (sample proportion) and ``n``
@@ -26,7 +34,12 @@ from hvq_tpu import constants as _c
 from hvq_tpu.models import common
 from hvq_tpu.models.device_db import DeviceDB
 from hvq_tpu.ops.distance import resolve_precision
+from hvq_tpu.ops.pallas_scan import choose_bin_top, fused_bin_scan
 from hvq_tpu.utils.formats import Dataset, QuerySet
+
+
+def _default_scan_impl() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 class BatchedEngine:
@@ -37,12 +50,14 @@ class BatchedEngine:
     def __init__(
         self,
         ds: Dataset,
-        db_tile: int = 8192,
+        db_tile: int = 2048,
         query_batch: int = 256,
         kprime: int = 128,
         dtype=jnp.float32,
         precision: str = "highest",
         topk_strategy: str = "topk",
+        scan_impl: str = "auto",
+        interpret: bool | None = None,
         device_db: DeviceDB | None = None,
     ):
         self.db = device_db or DeviceDB.from_dataset(
@@ -52,7 +67,22 @@ class BatchedEngine:
         self.kprime = kprime
         self.precision = resolve_precision(precision)
         self.topk_strategy = topk_strategy
+        self.scan_impl = (
+            _default_scan_impl() if scan_impl == "auto" else scan_impl
+        )
+        # R entries kept per 128-lane bin; None = no sound choice (small n,
+        # or neighbor-clustered layouts) → certified-exact XLA path.
+        self.bin_top = choose_bin_top(self.db.n_pad, kprime)
+        if self.scan_impl == "pallas" and self.bin_top is None:
+            self.scan_impl = "xla"
+        # Pallas kernels need interpret mode off-TPU (CPU test meshes).
+        self.interpret = (
+            jax.devices()[0].platform != "tpu"
+            if interpret is None
+            else interpret
+        )
         self.compute_dtype = dtype
+        self._pos = jnp.arange(self.db.n_pad, dtype=jnp.int32)
         self._search_jit = jax.jit(
             self._search_batch, static_argnames=("self_k",)
         )
@@ -60,8 +90,7 @@ class BatchedEngine:
     # --- jitted core -----------------------------------------------------
     def _search_batch(
         self,
-        Vt, Ct, Tt, dnt,        # database tile views
-        Vp,                     # flat (n_pad, 128) vectors for refinement
+        Vp, Cf, Tf, dnf,        # flat database arrays (n_pad, ...)
         qV, qtype, v, l, r,     # raw query batch arrays
         sn, n,                  # traced scalars
         self_k: int,
@@ -72,16 +101,31 @@ class BatchedEngine:
             qtype, v, l, r
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
-        scores, ids = common.scan_database(
-            (Vt, Ct, Tt, dnt),
-            qb,
-            sn,
-            kprime=self.kprime,
-            db_tile=self.db.db_tile,
-            precision=self.precision,
-            strategy=self.topk_strategy,
-            compute_dtype=self.compute_dtype,
-        )
+        Dt = self.db.db_tile
+        if self.scan_impl == "pallas":
+            out_s, out_i = fused_bin_scan(
+                Vp, Cf, Tf, dnf, self._pos,
+                qV, active_c, vv, active_t, ll, rr, sn,
+                db_tile=Dt, bin_top=self.bin_top, interpret=self.interpret,
+            )
+            kp = min(self.kprime, out_s.shape[1])
+            top_neg, idx = jax.lax.top_k(-out_s, kp)
+            scores = -top_neg
+            ids = jnp.take_along_axis(out_i, idx, axis=1)
+        else:
+            nt = self.db.n_pad // Dt
+            tiles = (
+                Vp.reshape(nt, Dt, Vp.shape[-1]),
+                Cf.reshape(nt, Dt),
+                Tf.reshape(nt, Dt),
+                dnf.reshape(nt, Dt),
+            )
+            scores, ids = common.scan_database(
+                tiles, qb, sn,
+                kprime=self.kprime, db_tile=Dt,
+                precision=self.precision, strategy=self.topk_strategy,
+                compute_dtype=self.compute_dtype,
+            )
         return common.finalize(scores, ids, Vp, qb, n, self_k)
 
     # --- host driver -----------------------------------------------------
@@ -96,7 +140,6 @@ class BatchedEngine:
         n = self.db.n
         sn = jnp.int32(int(sample_proportion * n))
         n_t = jnp.int32(n)
-        Vt, Ct, Tt, dnt = self.db.tiles()
         B = self.query_batch
 
         Vq, qtype, v, l, r, m_pad = common.pad_query_arrays(qs, B)
@@ -107,8 +150,7 @@ class BatchedEngine:
         for s in range(0, m_pad, B):
             e = s + B
             ids_b, d_b = self._search_jit(
-                Vt, Ct, Tt, dnt,
-                self.db.Vp,
+                self.db.Vp, self.db.C, self.db.T, self.db.d_norms,
                 jnp.asarray(qVp_all[s:e]),
                 jnp.asarray(qtype[s:e]),
                 jnp.asarray(v[s:e]),

@@ -1,0 +1,91 @@
+"""Pallas fused-scan kernel: differential vs its jnp mirror + engine E2E."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvq_tpu.models.batched import BatchedEngine
+from hvq_tpu.ops.pallas_scan import fused_bin_scan, fused_bin_scan_reference
+from hvq_tpu.utils.compare import recall_at_k
+from hvq_tpu.utils.generators import generate_dataset, generate_queries
+
+from conftest import assert_results_match
+
+
+def _rand_problem(n_pad=1024, B=16, seed=0):
+    rng = np.random.default_rng(seed)
+    Vp = rng.standard_normal((n_pad, 128)).astype(np.float32)
+    C = rng.integers(0, 5, n_pad).astype(np.float32)
+    T = rng.uniform(-3, 3, n_pad).astype(np.float32)
+    dn = (Vp * Vp).sum(1).astype(np.float32)
+    oid = np.arange(n_pad, dtype=np.int32)
+    qV = rng.standard_normal((B, 128)).astype(np.float32)
+    ac = rng.random(B) < 0.5
+    at = rng.random(B) < 0.5
+    v = rng.integers(0, 5, B).astype(np.float32)
+    l = rng.uniform(-3, 0, B).astype(np.float32)
+    r = rng.uniform(0, 3, B).astype(np.float32)
+    return [jnp.asarray(x) for x in (Vp, C, T, dn, oid, qV, ac, v, at, l, r)]
+
+
+@pytest.mark.parametrize("db_tile", [128, 256, 512])
+def test_kernel_matches_reference(db_tile):
+    args = _rand_problem()
+    sn = jnp.int32(900)
+    s1, i1 = fused_bin_scan(*args, sn, db_tile=db_tile, interpret=True)
+    s2, i2 = fused_bin_scan_reference(*args, sn, db_tile=db_tile)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-6, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_kernel_respects_sn():
+    """sn masks rows by reported id — nothing >= sn may surface."""
+    args = _rand_problem(seed=3)
+    s, i = fused_bin_scan(*args, jnp.int32(100), db_tile=256, interpret=True)
+    live = np.isfinite(np.asarray(s))
+    assert np.all(np.asarray(i)[live] < 100)
+    assert live.any()
+
+
+def test_choose_bin_top():
+    from hvq_tpu.ops.pallas_scan import choose_bin_top
+
+    assert choose_bin_top(2048) is None           # too small: no sound R
+    assert choose_bin_top(32 * 1024) == 8         # moderate: deep bins
+    assert choose_bin_top(1 << 20) in (2, 3)      # large: shallow bins fine
+    assert choose_bin_top(16 << 20) == 2
+
+
+def test_pallas_engine_matches_oracle():
+    """Full pallas path vs oracle at a size where bin loss is ~1e-9."""
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(32768, seed=30, categories=20)
+    qs = generate_queries(32, seed=33, categories=20)
+    eng = BatchedEngine(ds, db_tile=512, query_batch=32, scan_impl="pallas")
+    assert eng.scan_impl == "pallas" and eng.interpret and eng.bin_top == 8
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_pallas_engine_padding_and_sample():
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(32768, seed=31, categories=2000)
+    qs = generate_queries(8, seed=32, categories=2000, types=(1, 3))
+    eng = BatchedEngine(ds, db_tile=256, query_batch=8, scan_impl="pallas")
+    assert eng.scan_impl == "pallas"
+    oids, odists = search_oracle(ds, qs, sample_proportion=0.6)
+    ids, dists = eng.search(qs, sample_proportion=0.6)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+
+
+def test_small_db_falls_back_to_xla(small_ds):
+    eng = BatchedEngine(small_ds, db_tile=256, query_batch=8,
+                        scan_impl="pallas")
+    assert eng.scan_impl == "xla"  # unsound bin reduce → certified path

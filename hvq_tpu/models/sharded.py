@@ -56,6 +56,8 @@ class ShardedEngine:
         dtype=jnp.float32,
         precision: str = "highest",
         topk_strategy: str = "topk",
+        scan_impl: str = "auto",
+        interpret: bool | None = None,
     ):
         self.mesh = mesh or make_mesh()
         self.n_d = self.mesh.shape["d"]
@@ -85,6 +87,25 @@ class ShardedEngine:
         self.precision = resolve_precision(precision)
         self.topk_strategy = topk_strategy
         self.compute_dtype = dtype
+        # Per-shard fused Pallas kernel (same policy as BatchedEngine).
+        from hvq_tpu.ops.pallas_scan import choose_bin_top
+
+        local_rows = self.db.n_pad // self.n_d
+        self.bin_top = choose_bin_top(local_rows, kprime)
+        if scan_impl == "auto":
+            scan_impl = (
+                "pallas"
+                if jax.devices()[0].platform == "tpu" and self.bin_top
+                else "xla"
+            )
+        if scan_impl == "pallas" and self.bin_top is None:
+            scan_impl = "xla"
+        self.scan_impl = scan_impl
+        self.interpret = (
+            jax.devices()[0].platform != "tpu"
+            if interpret is None
+            else interpret
+        )
         self._search_jit = jax.jit(self._search_batch, static_argnames=("k",))
 
     # --- jitted core -----------------------------------------------------
@@ -104,23 +125,40 @@ class ShardedEngine:
             nt = local_n // db_tile
             offset = jax.lax.axis_index("d") * local_n
             qb = common.QueryBatch(qV_l, ac_l, v_l, at_l, l_l, r_l)
-            tiles = (
-                Vp_l.reshape(nt, db_tile, Vp_l.shape[-1]),
-                C_l.reshape(nt, db_tile),
-                T_l.reshape(nt, db_tile),
-                dn_l.reshape(nt, db_tile),
-            )
-            scores, gids = common.scan_database(
-                tiles,
-                qb,
-                sn_,
-                kprime=kprime,
-                db_tile=db_tile,
-                id_offset=offset,
-                precision=precision,
-                strategy=strategy,
-                compute_dtype=compute_dtype,
-            )
+            if self.scan_impl == "pallas":
+                from hvq_tpu.ops.pallas_scan import fused_bin_scan
+
+                gid_l = (
+                    jnp.arange(local_n, dtype=jnp.int32) + offset
+                ).astype(jnp.int32)
+                out_s, out_i = fused_bin_scan(
+                    Vp_l, C_l, T_l, dn_l, gid_l,
+                    qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
+                    db_tile=db_tile, bin_top=self.bin_top,
+                    interpret=self.interpret,
+                )
+                kp = min(kprime, out_s.shape[1])
+                top_neg, idx = jax.lax.top_k(-out_s, kp)
+                scores = -top_neg
+                gids = jnp.take_along_axis(out_i, idx, axis=1)
+            else:
+                tiles = (
+                    Vp_l.reshape(nt, db_tile, Vp_l.shape[-1]),
+                    C_l.reshape(nt, db_tile),
+                    T_l.reshape(nt, db_tile),
+                    dn_l.reshape(nt, db_tile),
+                )
+                scores, gids = common.scan_database(
+                    tiles,
+                    qb,
+                    sn_,
+                    kprime=kprime,
+                    db_tile=db_tile,
+                    id_offset=offset,
+                    precision=precision,
+                    strategy=strategy,
+                    compute_dtype=compute_dtype,
+                )
             # Exact per-shard refinement: every candidate's row is local.
             valid = jnp.isfinite(scores)
             local_idx = jnp.clip(gids - offset, 0, local_n - 1)

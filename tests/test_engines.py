@@ -99,6 +99,20 @@ def test_sharded_query_axis(small_ds, small_qs, oracle_small):
     assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
 
 
+def test_sharded_pallas_scan():
+    """Per-shard fused Pallas kernel inside shard_map (interpret on CPU)."""
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(262144, seed=40, categories=20)
+    qs = generate_queries(16, seed=41, categories=20)
+    eng = ShardedEngine(ds, db_tile=512, query_batch=16, scan_impl="pallas")
+    assert eng.scan_impl == "pallas" and eng.bin_top == 8
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
 def test_sharded_padding_path(small_ds):
     from hvq_tpu.models.oracle import search_oracle
 

@@ -56,8 +56,11 @@ def main() -> None:
         ds = generate_dataset(n, seed=0, categories=cats)
         qs = generate_queries(q, seed=1, categories=cats)
 
+    engine_kwargs = {}
+    if os.environ.get("HVQ_BENCH_SCAN_IMPL"):
+        engine_kwargs["scan_impl"] = os.environ["HVQ_BENCH_SCAN_IMPL"]
     with timer.phase("build"):
-        engine = get_engine(engine_name)(ds)
+        engine = get_engine(engine_name)(ds, **engine_kwargs)
 
     # Warmup: compile all program shapes on a small prefix of the queries.
     warm = type(qs)(

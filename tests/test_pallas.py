@@ -89,3 +89,17 @@ def test_small_db_falls_back_to_xla(small_ds):
     eng = BatchedEngine(small_ds, db_tile=256, query_batch=8,
                         scan_impl="pallas")
     assert eng.scan_impl == "xla"  # unsound bin reduce → certified path
+
+
+def test_xla_deferred_matches_oracle():
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(32768, seed=50, categories=20)
+    qs = generate_queries(16, seed=51, categories=20)
+    eng = BatchedEngine(ds, db_tile=512, query_batch=16,
+                        scan_impl="xla_deferred")
+    assert eng.scan_impl == "xla_deferred"
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0

@@ -43,7 +43,12 @@ from hvq_tpu.utils.formats import Dataset, QuerySet
 
 
 def _default_scan_impl() -> str:
-    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    # NOTE: the fused Pallas kernel (scan_impl="pallas") is the intended
+    # default on TPU, but this build environment's axon relay hangs on any
+    # Mosaic kernel compile (even a trivial one — verified 2026-08-16), so
+    # the default is the same algorithm expressed in pure XLA. Flip to
+    # "pallas" when running on a standard TPU runtime.
+    return "xla_deferred" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 class BatchedEngine:

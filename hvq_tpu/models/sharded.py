@@ -93,12 +93,15 @@ class ShardedEngine:
         local_rows = self.db.n_pad // self.n_d
         self.bin_top = choose_bin_top(local_rows, kprime)
         if scan_impl == "auto":
+            # See models/batched._default_scan_impl: Mosaic compiles hang on
+            # this environment's axon relay; xla_deferred is the same
+            # algorithm in pure XLA.
             scan_impl = (
-                "pallas"
+                "xla_deferred"
                 if jax.devices()[0].platform == "tpu" and self.bin_top
                 else "xla"
             )
-        if scan_impl == "pallas" and self.bin_top is None:
+        if scan_impl in ("pallas", "xla_deferred") and self.bin_top is None:
             scan_impl = "xla"
         self.scan_impl = scan_impl
         self.interpret = (
@@ -125,18 +128,29 @@ class ShardedEngine:
             nt = local_n // db_tile
             offset = jax.lax.axis_index("d") * local_n
             qb = common.QueryBatch(qV_l, ac_l, v_l, at_l, l_l, r_l)
-            if self.scan_impl == "pallas":
-                from hvq_tpu.ops.pallas_scan import fused_bin_scan
+            if self.scan_impl in ("pallas", "xla_deferred"):
+                from hvq_tpu.ops.pallas_scan import (
+                    deferred_bin_scan_xla,
+                    fused_bin_scan,
+                )
 
                 gid_l = (
                     jnp.arange(local_n, dtype=jnp.int32) + offset
                 ).astype(jnp.int32)
-                out_s, out_i = fused_bin_scan(
-                    Vp_l, C_l, T_l, dn_l, gid_l,
-                    qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
-                    db_tile=db_tile, bin_top=self.bin_top,
-                    interpret=self.interpret,
-                )
+                if self.scan_impl == "pallas":
+                    out_s, out_i = fused_bin_scan(
+                        Vp_l, C_l, T_l, dn_l, gid_l,
+                        qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
+                        db_tile=db_tile, bin_top=self.bin_top,
+                        interpret=self.interpret,
+                    )
+                else:
+                    out_s, out_i = deferred_bin_scan_xla(
+                        Vp_l, C_l, T_l, dn_l, gid_l,
+                        qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
+                        db_tile=db_tile, bin_top=self.bin_top,
+                        precision=precision,
+                    )
                 kp = min(kprime, out_s.shape[1])
                 top_neg, idx = jax.lax.top_k(-out_s, kp)
                 scores = -top_neg

@@ -59,6 +59,10 @@ def main() -> None:
     engine_kwargs = {}
     if os.environ.get("HVQ_BENCH_SCAN_IMPL"):
         engine_kwargs["scan_impl"] = os.environ["HVQ_BENCH_SCAN_IMPL"]
+    if os.environ.get("HVQ_BENCH_DB_TILE"):
+        engine_kwargs["db_tile"] = int(os.environ["HVQ_BENCH_DB_TILE"])
+    if os.environ.get("HVQ_BENCH_QB"):
+        engine_kwargs["query_batch"] = int(os.environ["HVQ_BENCH_QB"])
     with timer.phase("build"):
         engine = get_engine(engine_name)(ds, **engine_kwargs)
 

@@ -74,6 +74,10 @@ def _cmd_run(args) -> int:
                 kwargs[key] = val
     with timer.phase("build_engine"):
         engine = engine_cls(ds, **kwargs)
+    if args.resilient:
+        from hvq_tpu.utils.resilience import ResilientEngine
+
+        engine = ResilientEngine(engine)
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -161,6 +165,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("highest", "high", "default"))
     r.add_argument("--engine-opt", action="append", metavar="KEY=VALUE",
                    help="extra engine kwargs (e.g. nprobe=32, cap=512)")
+    r.add_argument("--resilient", action="store_true",
+                   help="wrap the engine with retry + OOM-bisection")
     r.add_argument("--save-dist", action=argparse.BooleanOptionalAction,
                    default=True, help="also write <output>.dist")
     r.add_argument("--profile", metavar="DIR",

@@ -59,7 +59,7 @@ class BatchedEngine:
     def __init__(
         self,
         ds: Dataset,
-        db_tile: int = 2048,
+        db_tile: int | None = None,
         query_batch: int = 256,
         kprime: int = 128,
         dtype=jnp.float32,
@@ -69,6 +69,13 @@ class BatchedEngine:
         interpret: bool | None = None,
         device_db: DeviceDB | None = None,
     ):
+        self.scan_impl = (
+            _default_scan_impl() if scan_impl == "auto" else scan_impl
+        )
+        if db_tile is None:
+            # VMEM budget caps the fused kernel's tile; XLA paths want big
+            # tiles to amortize per-step scan overhead.
+            db_tile = 2048 if self.scan_impl == "pallas" else 8192
         self.db = device_db or DeviceDB.from_dataset(
             ds, db_tile=db_tile, dtype=dtype
         )
@@ -76,9 +83,6 @@ class BatchedEngine:
         self.kprime = kprime
         self.precision = resolve_precision(precision)
         self.topk_strategy = topk_strategy
-        self.scan_impl = (
-            _default_scan_impl() if scan_impl == "auto" else scan_impl
-        )
         # R entries kept per 128-lane bin; None = no sound choice (small n,
         # or neighbor-clustered layouts) → certified-exact XLA path.
         self.bin_top = choose_bin_top(self.db.n_pad, kprime)

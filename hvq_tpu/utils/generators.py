@@ -50,10 +50,11 @@ def generate_dataset(
     if categories is None:
         C = rng.uniform(-1.0, 1.0, size=n).astype(np.float32)
     else:
-        C = rng.choice(_category_values(categories), size=n).astype(np.float32)
+        C = _category_values(categories)[rng.integers(0, categories, size=n)]
     T = rng.uniform(-3.0, 3.0, size=n).astype(np.float32)
     if clusters is None:
-        V = rng.uniform(-6.0, 6.0, size=(n, _c.VEC_DIM)).astype(np.float32)
+        # draw float32 directly: half the memory traffic of float64+cast
+        V = (rng.random((n, _c.VEC_DIM), dtype=np.float32) * 12.0 - 6.0)
     else:
         centers = _mixture_centers(seed, clusters)
         assign = rng.integers(0, clusters, size=n)
@@ -96,9 +97,9 @@ def generate_queries(
     if categories is None:
         v_drawn = rng.uniform(-1.0, 1.0, size=m).astype(np.float32)
     else:
-        v_drawn = rng.choice(_category_values(categories), size=m).astype(
-            np.float32
-        )
+        v_drawn = _category_values(categories)[
+            rng.integers(0, categories, size=m)
+        ]
     v = np.where(has_c, v_drawn, np.float32(-1.0)).astype(np.float32)
 
     l_drawn = rng.uniform(-3.0, 3.0, size=m).astype(np.float32)

@@ -66,16 +66,21 @@ def main() -> None:
     with timer.phase("build"):
         engine = get_engine(engine_name)(ds, **engine_kwargs)
 
-    # Warmup: compile all program shapes on a small prefix of the queries.
+    # Warmup: compile all program shapes (single-batch AND grouped dispatch).
+    warm_n = engine.query_batch * (
+        1 + getattr(engine, "dispatch_group", 1)
+    )
+    warm_n = min(warm_n, q)
     warm = type(qs)(
-        qtype=qs.qtype[: engine.query_batch],
-        v=qs.v[: engine.query_batch],
-        l=qs.l[: engine.query_batch],
-        r=qs.r[: engine.query_batch],
-        V=qs.V[: engine.query_batch],
+        qtype=qs.qtype[:warm_n],
+        v=qs.v[:warm_n],
+        l=qs.l[:warm_n],
+        r=qs.r[:warm_n],
+        V=qs.V[:warm_n],
     )
     with timer.phase("warmup_compile"):
         engine.search(warm)
+        engine.search(warm)  # second call = steady-state sanity
 
     with timer.phase("search"):
         t0 = time.perf_counter()
@@ -83,6 +88,29 @@ def main() -> None:
         wall = time.perf_counter() - t0
 
     qps = q / wall
+    extra = {}
+    check_n = int(os.environ.get("HVQ_BENCH_CHECK", 0))
+    if check_n:
+        from hvq_tpu.models.oracle import search_oracle
+        from hvq_tpu.utils.compare import compare_distances, recall_at_k
+        from hvq_tpu.utils.formats import recompute_result_distances
+
+        sub = type(qs)(
+            qtype=qs.qtype[:check_n], v=qs.v[:check_n],
+            l=qs.l[:check_n], r=qs.r[:check_n], V=qs.V[:check_n],
+        )
+        with timer.phase("oracle_check"):
+            oids, odists = search_oracle(ds, sub)
+        res = compare_distances(
+            recompute_result_distances(ds, sub, ids[:check_n].astype(np.int64)),
+            recompute_result_distances(ds, sub, oids.astype(np.int64)),
+        )
+        extra["checked_queries"] = check_n
+        extra["recall_at_100"] = round(
+            recall_at_k(ids[:check_n], oids, dists[:check_n], odists), 6
+        )
+        extra["dist_check"] = res.status
+        extra["max_dist_diff"] = res.max_abs_diff
     timer.report(stream=sys.stderr)
     print(
         json.dumps(
@@ -95,7 +123,7 @@ def main() -> None:
                 "wall_s": round(wall, 3),
                 "engine": engine_name,
                 "device": str(jax.devices()[0]),
-                "recall_note": "exact engine; recall@100=1.0 vs oracle by construction (see tests)",
+                **extra,
             }
         )
     )

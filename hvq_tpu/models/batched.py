@@ -67,6 +67,7 @@ class BatchedEngine:
         topk_strategy: str = "topk",
         scan_impl: str = "auto",
         interpret: bool | None = None,
+        dispatch_group: int = 8,
         device_db: DeviceDB | None = None,
     ):
         self.scan_impl = (
@@ -95,9 +96,13 @@ class BatchedEngine:
             else interpret
         )
         self.compute_dtype = dtype
+        self.dispatch_group = dispatch_group
         self._pos = jnp.arange(self.db.n_pad, dtype=jnp.int32)
         self._search_jit = jax.jit(
             self._search_batch, static_argnames=("self_k",)
+        )
+        self._search_group_jit = jax.jit(
+            self._search_group, static_argnames=("self_k",)
         )
 
     # --- jitted core -----------------------------------------------------
@@ -150,6 +155,22 @@ class BatchedEngine:
             )
         return common.finalize(scores, ids, Vp, qb, n, self_k)
 
+    def _search_group(self, Vp, Cf, Tf, dnf, qVg, qtypeg, vg, lg, rg, sn, n,
+                      self_k: int):
+        """G query batches in ONE dispatch (amortizes host→device latency,
+        which measures ~75 ms per call through the axon relay)."""
+
+        def step(_, xs):
+            qV, qtype, v, l, r = xs
+            return None, self._search_batch(
+                Vp, Cf, Tf, dnf, qV, qtype, v, l, r, sn, n, self_k
+            )
+
+        _, (ids, dists) = jax.lax.scan(
+            step, None, (qVg, qtypeg, vg, lg, rg)
+        )
+        return ids, dists
+
     # --- host driver -----------------------------------------------------
     def search(
         self,
@@ -169,18 +190,34 @@ class BatchedEngine:
 
         ids_out = np.empty((m_pad, k), dtype=np.uint32)
         dists_out = np.empty((m_pad, k), dtype=np.float32)
-        for s in range(0, m_pad, B):
-            e = s + B
-            ids_b, d_b = self._search_jit(
-                self.db.Vp, self.db.C, self.db.T, self.db.d_norms,
-                jnp.asarray(qVp_all[s:e]),
-                jnp.asarray(qtype[s:e]),
-                jnp.asarray(v[s:e]),
-                jnp.asarray(l[s:e]),
-                jnp.asarray(r[s:e]),
-                sn, n_t,
-                self_k=k,
-            )
-            ids_out[s:e] = np.asarray(ids_b).astype(np.uint32)
-            dists_out[s:e] = np.asarray(d_b)
+        G = max(1, self.dispatch_group)
+        db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
+        s = 0
+        while s < m_pad:
+            nb = (m_pad - s) // B
+            if nb >= G:
+                # grouped dispatch: G batches in one device call
+                e = s + G * B
+                grp = lambda a: jnp.asarray(a[s:e].reshape(G, B, *a.shape[1:]))
+                ids_b, d_b = self._search_group_jit(
+                    *db_args,
+                    grp(qVp_all), grp(qtype), grp(v), grp(l), grp(r),
+                    sn, n_t, self_k=k,
+                )
+                ids_out[s:e] = np.asarray(ids_b).reshape(G * B, k)
+                dists_out[s:e] = np.asarray(d_b).reshape(G * B, k)
+            else:
+                e = s + B
+                ids_b, d_b = self._search_jit(
+                    *db_args,
+                    jnp.asarray(qVp_all[s:e]),
+                    jnp.asarray(qtype[s:e]),
+                    jnp.asarray(v[s:e]),
+                    jnp.asarray(l[s:e]),
+                    jnp.asarray(r[s:e]),
+                    sn, n_t, self_k=k,
+                )
+                ids_out[s:e] = np.asarray(ids_b).astype(np.uint32)
+                dists_out[s:e] = np.asarray(d_b)
+            s = e
         return ids_out[: qs.m], dists_out[: qs.m]

@@ -63,6 +63,14 @@ class PartitionedEngine:
         self.topk_strategy = topk_strategy
         self.compute_dtype = dtype
         self._jit = jax.jit(self._search_pruned, static_argnames=("k",))
+        # Wide-range batches (type 0 and broad ranges) skip pruning and use
+        # the deferred-bin full scan instead — ~7× cheaper per tile than the
+        # streaming top-k merge. Bin collisions stay random because vectors
+        # are independent of the (C, T) sort order.
+        from hvq_tpu.ops.pallas_scan import choose_bin_top
+
+        self.bin_top = choose_bin_top(self.index.cat_view.n_pad, kprime)
+        self._jit_full = jax.jit(self._search_full, static_argnames=("k",))
 
     # --- jitted core -----------------------------------------------------
     def _search_pruned(
@@ -95,6 +103,39 @@ class PartitionedEngine:
             scores, pos, Vp_view, oid_view, tail_V, qb, n, k
         )
 
+    def _search_full(
+        self,
+        Vp_view, C_view, T_view, dn_view, oid_view,
+        tail_V,
+        qV, qtype, v, l, r,
+        sn, n,
+        k: int,
+    ):
+        from hvq_tpu.ops.pallas_scan import deferred_bin_scan_xla
+
+        active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
+            qtype, v, l, r
+        )
+        qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
+        # The mask tests original ids (sample-proportion is over file order);
+        # the reported payload is the VIEW POSITION so refinement gathers
+        # stay local to the view.
+        pos = jnp.arange(Vp_view.shape[0], dtype=jnp.int32)
+        out_s, out_i = deferred_bin_scan_xla(
+            Vp_view, C_view, T_view, dn_view, oid_view,
+            qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
+            db_tile=self.index.cat_view.db_tile, bin_top=self.bin_top,
+            precision=self.precision,
+            payload=pos,
+        )
+        kp = min(self.kprime, out_s.shape[1])
+        top_neg, idx = jax.lax.top_k(-out_s, kp)
+        scores = -top_neg
+        cand_pos = jnp.take_along_axis(out_i, idx, axis=1)
+        return common.finalize_view(
+            scores, cand_pos, Vp_view, oid_view, tail_V, qb, n, k
+        )
+
     # --- host driver -----------------------------------------------------
     def search(
         self,
@@ -110,26 +151,38 @@ class PartitionedEngine:
         ids_out = np.empty((qs.m, k), dtype=np.uint32)
         dists_out = np.empty((qs.m, k), dtype=np.float32)
 
+        # Route per query: ranges wide enough for a sound bin-reduce use the
+        # fast deferred full scan; narrow ranges use pruned tile scans. A
+        # narrow range on a sorted view concentrates candidates in few bins,
+        # where a bin reduce would lose neighbors — hence per-query gating.
+        from hvq_tpu.ops.pallas_scan import choose_bin_top
+
+        span = end - start
+        full_ok = np.zeros(qs.m, dtype=bool)
+        if self.bin_top is not None:
+            for i in range(qs.m):
+                r_bt = choose_bin_top(int(span[i]), self.kprime)
+                full_ok[i] = r_bt is not None and r_bt <= self.bin_top
+
         for vid, view in ((0, idx.cat_view), (1, idx.time_view)):
-            q_idx = np.nonzero(view_id == vid)[0]
-            if q_idx.size == 0:
-                continue
-            for s in range(0, q_idx.size, self.query_batch):
-                batch_idx = q_idx[s : s + self.query_batch]
-                ids_b, d_b = self._run_batch(
-                    view, batch_idx, qs, start, end, sn_val, n, k
-                )
-                ids_out[batch_idx] = ids_b[: batch_idx.size]
-                dists_out[batch_idx] = d_b[: batch_idx.size]
+            for full in (True, False):
+                q_idx = np.nonzero((view_id == vid) & (full_ok == full))[0]
+                if q_idx.size == 0:
+                    continue
+                for s in range(0, q_idx.size, self.query_batch):
+                    batch_idx = q_idx[s : s + self.query_batch]
+                    ids_b, d_b = self._run_batch(
+                        view, batch_idx, qs, start, end, sn_val, n, k,
+                        full=full,
+                    )
+                    ids_out[batch_idx] = ids_b[: batch_idx.size]
+                    dists_out[batch_idx] = d_b[: batch_idx.size]
         return ids_out, dists_out
 
-    def _run_batch(self, view, batch_idx, qs, start, end, sn_val, n, k):
+    def _run_batch(self, view, batch_idx, qs, start, end, sn_val, n, k,
+                   full: bool = False):
         B = self.query_batch
         bsz = batch_idx.size
-        tiles = tiles_for_ranges(
-            start[batch_idx], end[batch_idx], view.db_tile, view.num_tiles
-        )
-        tile_list = pad_tile_list(tiles)
 
         def pad(a, fill=0.0):
             out = np.full(B, fill, dtype=a.dtype)
@@ -138,18 +191,31 @@ class PartitionedEngine:
 
         qV = np.zeros((B, _c.PADDED_DIM), np.float32)
         qV[:bsz] = pad_vectors_np(qs.V[batch_idx].astype(np.float32))
-        Vt, Ct, Tt, dnt = view.tiles()
-        ids_b, d_b = self._jit(
-            Vt, Ct, Tt, dnt, view.oid_tiles(),
-            view.Vp, view.oid,
-            self.tail_V,
-            jnp.asarray(tile_list),
+        qargs = (
             jnp.asarray(qV),
             jnp.asarray(pad(qs.qtype)),
             jnp.asarray(pad(qs.v, -1.0)),
             jnp.asarray(pad(qs.l, -1.0)),
             jnp.asarray(pad(qs.r, -1.0)),
-            jnp.int32(sn_val), jnp.int32(n),
-            k=k,
         )
+        scalars = (jnp.int32(sn_val), jnp.int32(n))
+
+        if full:
+            ids_b, d_b = self._jit_full(
+                view.Vp, view.C, view.T, view.d_norms, view.oid,
+                self.tail_V, *qargs, *scalars, k=k,
+            )
+        else:
+            tiles = tiles_for_ranges(
+                start[batch_idx], end[batch_idx], view.db_tile,
+                view.num_tiles,
+            )
+            Vt, Ct, Tt, dnt = view.tiles()
+            ids_b, d_b = self._jit(
+                Vt, Ct, Tt, dnt, view.oid_tiles(),
+                view.Vp, view.oid,
+                self.tail_V,
+                jnp.asarray(pad_tile_list(tiles)),
+                *qargs, *scalars, k=k,
+            )
         return np.asarray(ids_b).astype(np.uint32), np.asarray(d_b)

@@ -195,16 +195,24 @@ def deferred_bin_scan_xla(
     Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
     db_tile=8192, bin_top=2,
     precision=jax.lax.Precision.HIGHEST,
+    payload=None,
 ):
     """XLA fallback with the kernel's algorithm: lax.scan over tiles, each
     step emitting its top-R-per-bin candidates (no carry merge, no big
     score materialization). Same output contract as fused_bin_scan up to
-    column order. Measured ~7× faster than the per-tile top-k merge."""
+    column order. Measured ~7× faster than the per-tile top-k merge.
+
+    ``oid`` drives the sample-proportion mask (original ids); ``payload``
+    (default: oid) is what gets *reported* per candidate — reordered-view
+    engines pass view positions here so their refinement gather stays local.
+    """
     n_pad, d = Vp.shape
     nt = n_pad // db_tile
     B = qV.shape[0]
     bins = db_tile // BIN
     qVf = qV.astype(jnp.float32)
+    if payload is None:
+        payload = oid
 
     xs = (
         Vp.reshape(nt, db_tile, d),
@@ -212,10 +220,11 @@ def deferred_bin_scan_xla(
         T.reshape(nt, db_tile),
         dn.reshape(nt, db_tile),
         oid.reshape(nt, db_tile).astype(jnp.int32),
+        payload.reshape(nt, db_tile).astype(jnp.int32),
     )
 
     def step(_, tile):
-        V_t, C_t, T_t, dn_t, oid_t = tile
+        V_t, C_t, T_t, dn_t, oid_t, pay_t = tile
         scores = dn_t[None, :] - 2.0 * jax.lax.dot_general(
             qVf, V_t.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -230,7 +239,7 @@ def deferred_bin_scan_xla(
         scores = jnp.where(ok, scores, jnp.inf)
 
         s3 = scores.reshape(B, bins, BIN)
-        g3 = jnp.broadcast_to(oid_t.reshape(1, bins, BIN), (B, bins, BIN))
+        g3 = jnp.broadcast_to(pay_t.reshape(1, bins, BIN), (B, bins, BIN))
         lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
         ms, gs = [], []
         for rnd in range(bin_top):

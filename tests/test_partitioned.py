@@ -73,6 +73,18 @@ def test_partitioned_sample_proportion(small_ds, small_qs, part_engine):
     assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
 
 
+def test_partitioned_full_scan_route():
+    """Wide ranges take the deferred full-scan route; results stay exact."""
+    ds = generate_dataset(131072, seed=60, categories=10)
+    qs = generate_queries(16, seed=61, categories=10)
+    eng = PartitionedEngine(ds, db_tile=2048, query_batch=16)
+    assert eng.bin_top is not None
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
 def test_partitioned_empty_predicate():
     """A category value matching nothing → all tail padding."""
     from hvq_tpu.utils.formats import QuerySet

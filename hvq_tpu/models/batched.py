@@ -98,6 +98,7 @@ class BatchedEngine:
         self.compute_dtype = dtype
         self.dispatch_group = dispatch_group
         self._pos = jnp.arange(self.db.n_pad, dtype=jnp.int32)
+        self.tail_V = jnp.asarray(common.tail_block_np(ds.V, t=kprime))
         self._search_jit = jax.jit(
             self._search_batch, static_argnames=("self_k",)
         )
@@ -153,7 +154,9 @@ class BatchedEngine:
                 precision=self.precision, strategy=self.topk_strategy,
                 compute_dtype=self.compute_dtype,
             )
-        return common.finalize(scores, ids, Vp, qb, n, self_k)
+        return common.finalize(
+            scores, ids, Vp, qb, n, self_k, tail_V=self.tail_V
+        )
 
     def _search_group(self, Vp, Cf, Tf, dnf, qVg, qtypeg, vg, lg, rg, sn, n,
                       self_k: int):

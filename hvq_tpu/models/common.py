@@ -149,16 +149,23 @@ def finalize(
     qb: QueryBatch,
     n: jnp.ndarray,            # traced scalar: true dataset size
     k: int,
+    tail_V: jnp.ndarray | None = None,  # (t, 128) tail rows (pad pricing)
 ):
     """Exact refinement + reference-exact padding + final ascending sort.
 
     Returns (ids (B, k) int32, dists (B, k) fp32) where dists are direct
     fp32 Σ(q−d)² — the same quantity the .dist file recomputes (io.h:38-48).
+    When ``tail_V`` is provided, pad slots are priced from it; otherwise a
+    second row gather covers them.
     """
     valid = jnp.isfinite(cand_scores)
     rows = jnp.take(Vp, cand_ids, axis=0)              # (B, k', 128)
     exact = exact_distances(qb.qV, rows)
     exact = jnp.where(valid, exact, jnp.inf)
+
+    if tail_V is not None:
+        sel = topk_ops.final_topk(exact, cand_ids, k)
+        return finalize_with_tail(sel[0], sel[1], tail_V, qb, n, k)
 
     sel_d, sel_ids = topk_ops.final_topk(exact, cand_ids, k)
     sel_valid = jnp.isfinite(sel_d)

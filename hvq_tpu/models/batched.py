@@ -37,6 +37,7 @@ from hvq_tpu.ops.distance import resolve_precision
 from hvq_tpu.ops.pallas_scan import (
     choose_bin_top,
     deferred_bin_scan_xla,
+    deferred_packed_scan_xla,
     fused_bin_scan,
 )
 from hvq_tpu.utils.formats import Dataset, QuerySet
@@ -46,9 +47,9 @@ def _default_scan_impl() -> str:
     # NOTE: the fused Pallas kernel (scan_impl="pallas") is the intended
     # default on TPU, but this build environment's axon relay hangs on any
     # Mosaic kernel compile (even a trivial one — verified 2026-08-16), so
-    # the default is the same algorithm expressed in pure XLA. Flip to
-    # "pallas" when running on a standard TPU runtime.
-    return "xla_deferred" if jax.devices()[0].platform == "tpu" else "xla"
+    # the default is the same algorithm expressed in pure XLA with packed
+    # distance+lane keys. Flip to "pallas" on a standard TPU runtime.
+    return "xla_packed" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 class BatchedEngine:
@@ -87,7 +88,10 @@ class BatchedEngine:
         # R entries kept per 128-lane bin; None = no sound choice (small n,
         # or neighbor-clustered layouts) → certified-exact XLA path.
         self.bin_top = choose_bin_top(self.db.n_pad, kprime)
-        if self.scan_impl in ("pallas", "xla_deferred") and self.bin_top is None:
+        if (
+            self.scan_impl in ("pallas", "xla_deferred", "xla_packed")
+            and self.bin_top is None
+        ):
             self.scan_impl = "xla"
         # Pallas kernels need interpret mode off-TPU (CPU test meshes).
         self.interpret = (
@@ -121,13 +125,20 @@ class BatchedEngine:
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         Dt = self.db.db_tile
-        if self.scan_impl in ("pallas", "xla_deferred"):
+        if self.scan_impl in ("pallas", "xla_deferred", "xla_packed"):
             if self.scan_impl == "pallas":
                 out_s, out_i = fused_bin_scan(
                     Vp, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
                     db_tile=Dt, bin_top=self.bin_top,
                     interpret=self.interpret,
+                )
+            elif self.scan_impl == "xla_packed":
+                out_s, out_i = deferred_packed_scan_xla(
+                    Vp, Cf, Tf, dnf, self._pos,
+                    qV, active_c, vv, active_t, ll, rr, sn,
+                    db_tile=Dt, bin_top=self.bin_top,
+                    precision=self.precision,
                 )
             else:
                 out_s, out_i = deferred_bin_scan_xla(

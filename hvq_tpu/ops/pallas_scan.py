@@ -256,6 +256,95 @@ def deferred_bin_scan_xla(
     return out_s, out_i
 
 
+def deferred_packed_scan_xla(
+    Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
+    db_tile=8192, bin_top=2,
+    precision=jax.lax.Precision.HIGHEST,
+    qnorm=None,
+):
+    """Packed-key variant of the deferred bin scan — the fast TPU path.
+
+    Each bin round of :func:`deferred_bin_scan_xla` costs an argmin, a min,
+    and a gather. Packing the candidate key as
+
+        int32( bitcast(float32 distance) & ~0x7F  |  lane )
+
+    (order-preserving for non-negative floats; BIN=128 lanes fit the 7
+    zeroed mantissa bits) turns each round into ONE min-reduce plus a mask,
+    and candidate *positions* come back as pure arithmetic — no gathers at
+    all in the hot loop. The 7 dropped mantissa bits perturb selection by
+    ≤ 2⁻¹⁶ relative, far below the exact-refinement slack.
+
+    Returns (dist (B, W) float32 [low bits zeroed, +inf = empty],
+             pos (B, W) int32 row positions). ``oid`` only drives the
+    sample-proportion mask; positions are the payload.
+    """
+    n_pad, d = Vp.shape
+    nt = n_pad // db_tile
+    B = qV.shape[0]
+    bins = db_tile // BIN
+    qVf = qV.astype(jnp.float32)
+    if qnorm is None:
+        qnorm = jnp.sum(qVf * qVf, axis=1)          # (B,) makes dists ≥ 0
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bins, BIN), 2)
+    INF_PACK = jnp.int32(0x7F800000)                # +inf, lane 0
+
+    xs = (
+        Vp.reshape(nt, db_tile, d),
+        C.reshape(nt, db_tile),
+        T.reshape(nt, db_tile),
+        dn.reshape(nt, db_tile),
+        oid.reshape(nt, db_tile).astype(jnp.int32),
+    )
+
+    def step(_, tile):
+        V_t, C_t, T_t, dn_t, oid_t = tile
+        scores = dn_t[None, :] - 2.0 * jax.lax.dot_general(
+            qVf, V_t.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        dist = jnp.maximum(scores + qnorm[:, None], 0.0)
+        ok = oid_t[None, :] < sn
+        ok &= (~active_c[:, None]) | (C_t[None, :] == v[:, None])
+        ok &= (~active_t[:, None]) | (
+            (T_t[None, :] >= l[:, None]) & (T_t[None, :] <= r[:, None])
+        )
+        dist = jnp.where(ok, dist, jnp.inf)
+
+        d3 = dist.reshape(B, bins, BIN)
+        packed = (
+            jax.lax.bitcast_convert_type(d3, jnp.int32) & jnp.int32(~0x7F)
+        ) | lane_iota
+        outs = []
+        for rnd in range(bin_top):
+            m = jnp.min(packed, axis=2)              # (B, bins) packed key
+            outs.append(m)
+            if rnd + 1 < bin_top:
+                packed = jnp.where(
+                    lane_iota == (m & jnp.int32(0x7F))[:, :, None],
+                    INF_PACK, packed,
+                )
+        return None, jnp.stack(outs, axis=1)         # (B, R, bins)
+
+    _, packed_out = jax.lax.scan(step, None, xs)      # (nt, B, R, bins)
+    W = nt * bin_top * bins
+    packed_flat = jnp.moveaxis(packed_out, 0, 1).reshape(B, W)
+
+    # unpack: position = tile*Dt + bin*BIN + lane, distance = key & ~0x7F
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    tile_idx = col // (bin_top * bins)
+    bin_idx = col % bins
+    lane = packed_flat & jnp.int32(0x7F)
+    pos = tile_idx * db_tile + bin_idx * BIN + lane
+    dist = jax.lax.bitcast_convert_type(
+        packed_flat & jnp.int32(~0x7F), jnp.float32
+    )
+    return dist, pos
+
+
 def fused_bin_scan_reference(
     Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
     db_tile=2048, bin_top=2,

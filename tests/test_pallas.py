@@ -103,3 +103,61 @@ def test_xla_deferred_matches_oracle():
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_packed_scan_selection_matches_reference():
+    """Packed-key scan selects the same candidates as the plain deferred
+    scan (top-k sets agree; distances agree to the 7-low-bit quantization)."""
+    import jax
+    import jax.numpy as jnp
+    from hvq_tpu.ops.pallas_scan import (
+        deferred_bin_scan_xla,
+        deferred_packed_scan_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    n_pad, B, Dt = 4096, 8, 512
+    Vp = rng.standard_normal((n_pad, 128)).astype(np.float32)
+    C = rng.integers(0, 4, n_pad).astype(np.float32)
+    T = rng.uniform(-3, 3, n_pad).astype(np.float32)
+    dn = (Vp * Vp).sum(1).astype(np.float32)
+    oid = np.arange(n_pad, dtype=np.int32)
+    qV = rng.standard_normal((B, 128)).astype(np.float32)
+    ac = rng.random(B) < 0.5
+    at = rng.random(B) < 0.5
+    v = rng.integers(0, 4, B).astype(np.float32)
+    l = rng.uniform(-3, 0, B).astype(np.float32)
+    r = rng.uniform(0, 3, B).astype(np.float32)
+    args = [jnp.asarray(x) for x in (Vp, C, T, dn, oid, qV, ac, v, at, l, r)]
+    sn = jnp.int32(4000)
+
+    s_ref, i_ref = deferred_bin_scan_xla(*args, sn, db_tile=Dt, bin_top=2)
+    s_pk, i_pk = deferred_packed_scan_xla(*args, sn, db_tile=Dt, bin_top=2)
+
+    qnorm = (qV.astype(np.float64) ** 2).sum(1)
+    for b in range(B):
+        # same top-32 candidate sets per query
+        ref_top = np.asarray(i_ref)[b][np.argsort(np.asarray(s_ref)[b])[:32]]
+        pk_top = np.asarray(i_pk)[b][np.argsort(np.asarray(s_pk)[b])[:32]]
+        assert set(ref_top.tolist()) == set(pk_top.tolist())
+        # packed distances ≈ score + qnorm up to the 7-bit quantization
+        fin = np.isfinite(np.asarray(s_pk)[b])
+        approx = np.asarray(s_pk)[b][fin]
+        exact = (np.asarray(s_ref)[b] + qnorm[b])[np.isfinite(np.asarray(s_ref)[b])]
+        # match by sorted order
+        np.testing.assert_allclose(
+            np.sort(approx), np.sort(exact), rtol=2e-5, atol=1e-3
+        )
+
+
+def test_packed_engine_matches_oracle():
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(32768, seed=70, categories=20)
+    qs = generate_queries(24, seed=71, categories=20)
+    eng = BatchedEngine(ds, db_tile=512, query_batch=24,
+                        scan_impl="xla_packed")
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0

@@ -94,14 +94,17 @@ class ShardedEngine:
         self.bin_top = choose_bin_top(local_rows, kprime)
         if scan_impl == "auto":
             # See models/batched._default_scan_impl: Mosaic compiles hang on
-            # this environment's axon relay; xla_deferred is the same
-            # algorithm in pure XLA.
+            # this environment's axon relay; the packed deferred scan is the
+            # same algorithm in pure XLA.
             scan_impl = (
-                "xla_deferred"
+                "xla_packed"
                 if jax.devices()[0].platform == "tpu" and self.bin_top
                 else "xla"
             )
-        if scan_impl in ("pallas", "xla_deferred") and self.bin_top is None:
+        if (
+            scan_impl in ("pallas", "xla_deferred", "xla_packed")
+            and self.bin_top is None
+        ):
             scan_impl = "xla"
         self.scan_impl = scan_impl
         self.interpret = (
@@ -128,9 +131,10 @@ class ShardedEngine:
             nt = local_n // db_tile
             offset = jax.lax.axis_index("d") * local_n
             qb = common.QueryBatch(qV_l, ac_l, v_l, at_l, l_l, r_l)
-            if self.scan_impl in ("pallas", "xla_deferred"):
+            if self.scan_impl in ("pallas", "xla_deferred", "xla_packed"):
                 from hvq_tpu.ops.pallas_scan import (
                     deferred_bin_scan_xla,
+                    deferred_packed_scan_xla,
                     fused_bin_scan,
                 )
 
@@ -144,6 +148,14 @@ class ShardedEngine:
                         db_tile=db_tile, bin_top=self.bin_top,
                         interpret=self.interpret,
                     )
+                elif self.scan_impl == "xla_packed":
+                    out_s, out_i = deferred_packed_scan_xla(
+                        Vp_l, C_l, T_l, dn_l, gid_l,
+                        qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
+                        db_tile=db_tile, bin_top=self.bin_top,
+                        precision=precision,
+                    )
+                    out_i = out_i + offset  # local positions → global ids
                 else:
                     out_s, out_i = deferred_bin_scan_xla(
                         Vp_l, C_l, T_l, dn_l, gid_l,

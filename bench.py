@@ -63,6 +63,8 @@ def main() -> None:
         engine_kwargs["db_tile"] = int(os.environ["HVQ_BENCH_DB_TILE"])
     if os.environ.get("HVQ_BENCH_QB"):
         engine_kwargs["query_batch"] = int(os.environ["HVQ_BENCH_QB"])
+    if os.environ.get("HVQ_BENCH_PRECISION"):
+        engine_kwargs["precision"] = os.environ["HVQ_BENCH_PRECISION"]
     with timer.phase("build"):
         engine = get_engine(engine_name)(ds, **engine_kwargs)
 

@@ -67,8 +67,12 @@ def search_oracle(
             # total entries exist (optimized.hpp:120-128).
             pad = np.arange(n - 1, n - 1 - (k - cand.size), -1, dtype=np.int64)
             cand = np.concatenate([cand, pad])
-        diff = V64[cand] - q
-        d = np.einsum("jd,jd->j", diff, diff)
+        # chunked so the (|cand|, 100) float64 temp never exceeds ~1 GB
+        d = np.empty(cand.size, np.float64)
+        for s in range(0, cand.size, 1 << 20):
+            e = min(s + (1 << 20), cand.size)
+            diff = V64[cand[s:e]] - q
+            d[s:e] = np.einsum("jd,jd->j", diff, diff)
         order = np.argsort(d, kind="stable")[:k]
         ids_out[i] = cand[order].astype(np.uint32)
         dists_out[i] = d[order].astype(np.float32)

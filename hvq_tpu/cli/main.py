@@ -72,6 +72,11 @@ def _cmd_run(args) -> int:
                 kwargs[key] = float(val)
             except ValueError:
                 kwargs[key] = val
+    if args.index:
+        from hvq_tpu.index.serialize import load_index
+
+        with timer.phase("load_index"):
+            kwargs["index"] = load_index(args.index)
     with timer.phase("build_engine"):
         engine = engine_cls(ds, **kwargs)
     if args.resilient:
@@ -125,6 +130,39 @@ def _cmd_compare(args) -> int:
     return 2 if worst == "different" else 0
 
 
+def _cmd_build_index(args) -> int:
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from hvq_tpu.utils import formats
+    from hvq_tpu.utils.timing import PhaseTimer
+
+    timer = PhaseTimer()
+    with timer.phase("read_data"):
+        ds = formats.read_data_bin(args.data)
+    with timer.phase("build"):
+        if args.kind == "partitioned":
+            from hvq_tpu.index.partition import PartitionedIndex
+            from hvq_tpu.index.serialize import save_partitioned
+
+            idx = PartitionedIndex.build(ds, db_tile=args.db_tile)
+            save_partitioned(idx, args.out)
+        elif args.kind == "ivf":
+            from hvq_tpu.index.ivf import IVFIndex
+            from hvq_tpu.index.serialize import save_ivf
+
+            idx = IVFIndex.build(
+                ds, cap=args.cap, iters=args.kmeans_iters, seed=args.seed
+            )
+            save_ivf(idx, args.out)
+        else:
+            raise SystemExit(f"unknown index kind {args.kind}")
+    timer.report()
+    print(f"wrote {args.kind} index to {args.out}", file=sys.stderr)
+    return 0
+
+
 def _cmd_gen_data(args) -> int:
     from hvq_tpu.utils import formats
     from hvq_tpu.utils.generators import generate_dataset
@@ -167,6 +205,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="extra engine kwargs (e.g. nprobe=32, cap=512)")
     r.add_argument("--resilient", action="store_true",
                    help="wrap the engine with retry + OOM-bisection")
+    r.add_argument("--index", help="prebuilt index checkpoint (.npz) to load")
     r.add_argument("--save-dist", action=argparse.BooleanOptionalAction,
                    default=True, help="also write <output>.dist")
     r.add_argument("--profile", metavar="DIR",
@@ -180,6 +219,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("files", nargs="+")
     c.add_argument("--tolerance", type=float, default=0.002)
     c.set_defaults(fn=_cmd_compare)
+
+    bi = sub.add_parser("build-index",
+                        help="build + checkpoint an index (partitioned/ivf)")
+    bi.add_argument("--data", required=True)
+    bi.add_argument("--kind", required=True, choices=("partitioned", "ivf"))
+    bi.add_argument("--out", required=True)
+    bi.add_argument("--db-tile", type=int, default=8192)
+    bi.add_argument("--cap", type=int, default=1024)
+    bi.add_argument("--kmeans-iters", type=int, default=8)
+    bi.add_argument("--seed", type=int, default=0)
+    bi.add_argument("--platform", help="force a JAX platform (e.g. cpu)")
+    bi.set_defaults(fn=_cmd_build_index)
 
     gd = sub.add_parser("gen-data", help="synthetic dataset (write_data.c analogue)")
     gd.add_argument("path")

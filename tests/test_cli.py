@@ -92,3 +92,22 @@ def test_engine_opt_passthrough(workdir):
         "--output", str(workdir / "o2.bin"),
     )
     assert "ignores" in r2.stderr
+
+
+def test_build_index_and_run(workdir):
+    idx_path = workdir / "part.npz"
+    run_cli("build-index", "--data", str(workdir / "data.bin"),
+            "--kind", "partitioned", "--out", str(idx_path),
+            "--db-tile", "256", "--platform", "cpu")
+    assert idx_path.exists()
+    r = run_cli(
+        "run", "--data", str(workdir / "data.bin"),
+        "--queries", str(workdir / "query.bin"),
+        "--engine", "partitioned", "--platform", "cpu",
+        "--index", str(idx_path), "--db-tile", "256", "--query-batch", "8",
+        "--output", str(workdir / "part.bin"),
+    )
+    assert "load_index" in r.stderr
+    out = run_cli("compare", str(workdir / "oracle.bin"),
+                  str(workdir / "part.bin"))
+    assert "same" in out.stdout or "similar" in out.stdout

@@ -45,8 +45,10 @@ def main() -> None:
     from hvq_tpu.utils.generators import generate_dataset, generate_queries
     from hvq_tpu.utils.timing import PhaseTimer
 
-    n = int(os.environ.get("HVQ_BENCH_N", 1_000_000))
-    q = int(os.environ.get("HVQ_BENCH_Q", 10_000))
+    # Default = the reference's LARGE set (D=10^7, Q=4x10^4): the config
+    # BASELINE.json's headline metric is defined on (CPU best: 15 QPS).
+    n = int(os.environ.get("HVQ_BENCH_N", 10_000_000))
+    q = int(os.environ.get("HVQ_BENCH_Q", 40_000))
     engine_name = os.environ.get("HVQ_BENCH_ENGINE", "batched")
     cats = int(os.environ.get("HVQ_BENCH_CATS", 1000))
     baseline = float(os.environ.get("HVQ_BENCH_BASELINE", _baseline_qps(n)))
@@ -91,7 +93,7 @@ def main() -> None:
 
     qps = q / wall
     extra = {}
-    check_n = int(os.environ.get("HVQ_BENCH_CHECK", 0))
+    check_n = int(os.environ.get("HVQ_BENCH_CHECK", 5))
     if check_n:
         from hvq_tpu.models.oracle import search_oracle
         from hvq_tpu.utils.compare import compare_distances, recall_at_k

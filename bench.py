@@ -53,10 +53,14 @@ def main() -> None:
     cats = int(os.environ.get("HVQ_BENCH_CATS", 1000))
     baseline = float(os.environ.get("HVQ_BENCH_BASELINE", _baseline_qps(n)))
 
+    clusters = int(os.environ.get("HVQ_BENCH_CLUSTERS", 0)) or None
+
     timer = PhaseTimer()
     with timer.phase("generate"):
-        ds = generate_dataset(n, seed=0, categories=cats)
-        qs = generate_queries(q, seed=1, categories=cats)
+        ds = generate_dataset(n, seed=0, categories=cats, clusters=clusters)
+        qs = generate_queries(
+            q, seed=1, categories=cats, clusters=clusters, centers_seed=0
+        )
 
     engine_kwargs = {}
     if os.environ.get("HVQ_BENCH_SCAN_IMPL"):

@@ -10,14 +10,22 @@ kernel into a 100-slot array (include/optimized.hpp:54-146), this engine:
 * selects k' candidates per query, then exactly re-refines them in fp32 and
   applies the reference's pad-to-k semantics (models.common.finalize).
 
-Two scan implementations (``scan_impl``):
+Scan implementations (``scan_impl``; measured ladder in CHANGELOG.md):
 
-* ``"pallas"`` (default on TPU) — the fused Pallas kernel
-  (ops.pallas_scan): matmul + mask + top-2-per-128-lane-bin partial reduce
-  in VMEM, one ``lax.top_k`` over the surviving bin candidates per batch.
-  Measured ~7× the throughput of the streaming-top-k path at 10⁶ rows.
+* ``"xla_packed"`` (default on TPU) — deferred top-R-per-bin selection with
+  packed distance+lane int32 keys: one min-reduce per bin round, candidate
+  positions recovered arithmetically, one ``lax.top_k`` per batch. 14× the
+  streaming-top-k path at 10⁶ rows (8221 QPS medium set).
+* ``"pallas"`` — the fused Pallas kernel (ops.pallas_scan): same algorithm
+  with the (B, Dt) score tile living only in VMEM. The intended default on
+  standard TPU runtimes; this build environment's axon relay hangs on
+  Mosaic compiles, so it's opt-in here.
+* ``"xla_deferred"`` — the unpacked deferred variant (argmin + gather per
+  bin round); kept for comparison.
 * ``"xla"`` — ``lax.scan`` with an exact per-tile ``lax.top_k`` merge
-  (ops.topk), the certified-exact reference path and the portable fallback.
+  (ops.topk): the certified-exact path (no bin reduce), the portable
+  fallback, and the automatic choice when the database is too small for a
+  sound bin depth (ops.pallas_scan.choose_bin_top).
 
 Everything under ``jit`` is shape-static: query count is padded to the batch
 size, database rows to the tile size; ``sn`` (sample proportion) and ``n``

@@ -16,11 +16,17 @@ candidate stream — within ~2× of the pure-matmul ceiling. The final top-k'
 over all surviving bin candidates runs outside (one `lax.top_k` per batch),
 followed by the standard exact refinement.
 
-Keeping the best TWO entries per 128-lane bin makes losing a true top-k'
-candidate require three of the top-k' to share one bin: with B≈10⁴ bins per
-million rows the per-query probability is ~C(128,3)/bins² ≈ 10⁻⁸ — the
-"exact in practice" fast path (tests gate recall = 1.0; the certified-exact
-`lax.top_k` streaming path remains available as scan_impl="xla_topk").
+Keeping the best R entries per 128-lane bin makes losing a true top-k'
+candidate require R+1 of the top-k' to share one bin; ``choose_bin_top``
+picks R from a Poisson tail bound so the expected loss is < 1e-4 per query
+(tests gate recall = 1.0; the certified-exact ``lax.top_k`` streaming path
+remains available as scan_impl="xla").
+
+The same algorithm is also expressed in pure XLA here:
+``deferred_bin_scan_xla`` (plain) and ``deferred_packed_scan_xla`` (packed
+distance+lane keys — single min-reduce per bin round, arithmetic candidate
+ids; the default TPU path while this environment's relay can't compile
+Mosaic kernels).
 """
 
 from __future__ import annotations

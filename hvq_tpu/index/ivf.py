@@ -53,19 +53,6 @@ class IVFIndex:
     def n_pad(self) -> int:
         return self.Vp.shape[0]
 
-    def scan_tiles(self):
-        """(nt, Dt, ·) views for the exact masked-scan fallback path."""
-        nt = self.n_pad // self.scan_tile
-        return (
-            self.Vp.reshape(nt, self.scan_tile, self.Vp.shape[-1]),
-            self.C.reshape(nt, self.scan_tile),
-            self.T.reshape(nt, self.scan_tile),
-            self.d_norms.reshape(nt, self.scan_tile),
-        )
-
-    def oid_tiles(self):
-        return self.oid.reshape(-1, self.scan_tile)
-
     # --- selectivity estimation (host) -----------------------------------
     def selectivity(
         self, qtype: np.ndarray, v: np.ndarray, l: np.ndarray, r: np.ndarray

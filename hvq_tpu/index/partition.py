@@ -59,18 +59,6 @@ class SortedView:
     def num_tiles(self) -> int:
         return self.n_pad // self.db_tile
 
-    def tiles(self):
-        nt, Dt = self.num_tiles, self.db_tile
-        return (
-            self.Vp.reshape(nt, Dt, self.Vp.shape[-1]),
-            self.C.reshape(nt, Dt),
-            self.T.reshape(nt, Dt),
-            self.d_norms.reshape(nt, Dt),
-        )
-
-    def oid_tiles(self):
-        return self.oid.reshape(self.num_tiles, self.db_tile)
-
 
 def _build_view(ds: Dataset, perm: np.ndarray, db_tile: int, dtype) -> SortedView:
     n = ds.n

@@ -118,8 +118,8 @@ class IVFEngine:
     # --- jitted exact-scan fallback (full masked scan of the IVF view) ----
     def _scan_batch(
         self,
-        Vt, Ct, Tt, dnt, OIDt,
-        Vp_view, oid_view, tail_V,
+        Vp_view, C_view, T_view, dn_view, oid_view,
+        tail_V,
         qV, qtype, v, l, r,
         sn, n,
         k: int,
@@ -128,13 +128,20 @@ class IVFEngine:
             qtype, v, l, r
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
+        Dt = self.index.scan_tile
+        nt = Vp_view.shape[0] // Dt
         scores, pos = common.scan_database(
-            (Vt, Ct, Tt, dnt),
+            (
+                Vp_view.reshape(nt, Dt, Vp_view.shape[-1]),
+                C_view.reshape(nt, Dt),
+                T_view.reshape(nt, Dt),
+                dn_view.reshape(nt, Dt),
+            ),
             qb,
             sn,
             kprime=max(128, k),
-            db_tile=self.index.scan_tile,
-            oid_tiles=OIDt,
+            db_tile=Dt,
+            oid_tiles=oid_view.reshape(nt, Dt),
         )
         return common.finalize_view(
             scores, pos, Vp_view, oid_view, tail_V, qb, n, k
@@ -209,11 +216,10 @@ class IVFEngine:
 
     def _run_scan(self, batch_idx, qs, sn, n_t, k):
         idx = self.index
-        Vt, Ct, Tt, dnt = idx.scan_tiles()
         qargs = self._query_args(batch_idx, qs)
         ids_b, d_b = self._scan_jit(
-            Vt, Ct, Tt, dnt, idx.oid_tiles(),
-            idx.Vp, idx.oid, self.tail_V,
+            idx.Vp, idx.C, idx.T, idx.d_norms, idx.oid,
+            self.tail_V,
             *qargs, sn, n_t, k=k,
         )
         return np.asarray(ids_b).astype(np.uint32), np.asarray(d_b)

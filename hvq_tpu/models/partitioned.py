@@ -75,8 +75,7 @@ class PartitionedEngine:
     # --- jitted core -----------------------------------------------------
     def _search_pruned(
         self,
-        Vt, Ct, Tt, dnt, OIDt,   # view tiles
-        Vp_view, oid_view,       # flat view arrays for refinement
+        Vp_view, C_view, T_view, dn_view, oid_view,  # flat view arrays
         tail_V,
         tile_index,              # (nt_sel,) int32, -1 = skip
         qV, qtype, v, l, r,
@@ -87,8 +86,15 @@ class PartitionedEngine:
             qtype, v, l, r
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
+        Dt = self.index.cat_view.db_tile
+        nt = Vp_view.shape[0] // Dt
         scores, pos = common.scan_database(
-            (Vt, Ct, Tt, dnt),
+            (
+                Vp_view.reshape(nt, Dt, Vp_view.shape[-1]),
+                C_view.reshape(nt, Dt),
+                T_view.reshape(nt, Dt),
+                dn_view.reshape(nt, Dt),
+            ),
             qb,
             sn,
             kprime=self.kprime,
@@ -96,7 +102,7 @@ class PartitionedEngine:
             precision=self.precision,
             strategy=self.topk_strategy,
             compute_dtype=self.compute_dtype,
-            oid_tiles=OIDt,
+            oid_tiles=oid_view.reshape(nt, Dt),
             tile_index=tile_index,
         )
         return common.finalize_view(
@@ -210,10 +216,8 @@ class PartitionedEngine:
                 start[batch_idx], end[batch_idx], view.db_tile,
                 view.num_tiles,
             )
-            Vt, Ct, Tt, dnt = view.tiles()
             ids_b, d_b = self._jit(
-                Vt, Ct, Tt, dnt, view.oid_tiles(),
-                view.Vp, view.oid,
+                view.Vp, view.C, view.T, view.d_norms, view.oid,
                 self.tail_V,
                 jnp.asarray(pad_tile_list(tiles)),
                 *qargs, *scalars, k=k,

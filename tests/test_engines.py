@@ -122,3 +122,17 @@ def test_sharded_padding_path(small_ds):
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)
+
+
+def test_arbitrary_k(small_ds, small_qs):
+    """The engine API supports k != 100 (the file format alone fixes 100)."""
+    from hvq_tpu.models.oracle import search_oracle
+
+    eng = BatchedEngine(small_ds, db_tile=256, query_batch=32)
+    for k in (1, 10, 128):
+        oids, odists = search_oracle(small_ds, small_qs, k=k)
+        ids, dists = eng.search(small_qs, k=k)
+        assert ids.shape == (small_qs.m, k)
+        np.testing.assert_allclose(
+            np.sort(dists, 1), np.sort(odists, 1), atol=2e-3
+        )

@@ -58,8 +58,10 @@ class ShardedEngine:
         topk_strategy: str = "topk",
         scan_impl: str = "auto",
         interpret: bool | None = None,
+        dispatch_group: int = 8,
     ):
         self.mesh = mesh or make_mesh()
+        self.dispatch_group = dispatch_group
         self.n_d = self.mesh.shape["d"]
         self.n_q = self.mesh.shape.get("q", 1)
         if query_batch % max(self.n_q, 1):
@@ -113,6 +115,22 @@ class ShardedEngine:
             else interpret
         )
         self._search_jit = jax.jit(self._search_batch, static_argnames=("k",))
+        self._search_group_jit = jax.jit(
+            self._search_group, static_argnames=("k",)
+        )
+
+    def _search_group(self, Vp, C, T, dn, tail_V,
+                      qVg, qtypeg, vg, lg, rg, sn, n, k):
+        """G query batches per device dispatch (latency amortization)."""
+
+        def step(_, xs):
+            qV, qtype, v, l, r = xs
+            return None, self._search_batch(
+                Vp, C, T, dn, tail_V, qV, qtype, v, l, r, sn, n, k
+            )
+
+        _, out = jax.lax.scan(step, None, (qVg, qtypeg, vg, lg, rg))
+        return out
 
     # --- jitted core -----------------------------------------------------
     def _search_batch(self, Vp, C, T, dn, tail_V, qV, qtype, v, l, r, sn, n, k):
@@ -229,20 +247,42 @@ class ShardedEngine:
 
         qrep = NamedSharding(self.mesh, P("q"))
         qrep2 = NamedSharding(self.mesh, P("q", None))
+        grep = NamedSharding(self.mesh, P(None, "q"))
+        grep2 = NamedSharding(self.mesh, P(None, "q", None))
+        db_args = (
+            self.db.Vp, self.db.C, self.db.T, self.db.d_norms, self.tail_V,
+        )
         ids_out = np.empty((m_pad, k), dtype=np.uint32)
         dists_out = np.empty((m_pad, k), dtype=np.float32)
-        for s in range(0, m_pad, B):
-            e = s + B
-            ids_b, d_b = self._search_jit(
-                self.db.Vp, self.db.C, self.db.T, self.db.d_norms,
-                self.tail_V,
-                jax.device_put(jnp.asarray(qVp_all[s:e]), qrep2),
-                jax.device_put(jnp.asarray(qtype[s:e]), qrep),
-                jax.device_put(jnp.asarray(v[s:e]), qrep),
-                jax.device_put(jnp.asarray(l[s:e]), qrep),
-                jax.device_put(jnp.asarray(r[s:e]), qrep),
-                sn, n_t, k=k,
-            )
-            ids_out[s:e] = np.asarray(ids_b).astype(np.uint32)
-            dists_out[s:e] = np.asarray(d_b)
+        G = max(1, self.dispatch_group)
+        s = 0
+        while s < m_pad:
+            nb = (m_pad - s) // B
+            if nb >= G:
+                e = s + G * B
+                grp = lambda a, sh: jax.device_put(
+                    jnp.asarray(a[s:e].reshape(G, B, *a.shape[1:])), sh
+                )
+                ids_b, d_b = self._search_group_jit(
+                    *db_args,
+                    grp(qVp_all, grep2), grp(qtype, grep), grp(v, grep),
+                    grp(l, grep), grp(r, grep),
+                    sn, n_t, k=k,
+                )
+                ids_out[s:e] = np.asarray(ids_b).reshape(G * B, k)
+                dists_out[s:e] = np.asarray(d_b).reshape(G * B, k)
+            else:
+                e = s + B
+                ids_b, d_b = self._search_jit(
+                    *db_args,
+                    jax.device_put(jnp.asarray(qVp_all[s:e]), qrep2),
+                    jax.device_put(jnp.asarray(qtype[s:e]), qrep),
+                    jax.device_put(jnp.asarray(v[s:e]), qrep),
+                    jax.device_put(jnp.asarray(l[s:e]), qrep),
+                    jax.device_put(jnp.asarray(r[s:e]), qrep),
+                    sn, n_t, k=k,
+                )
+                ids_out[s:e] = np.asarray(ids_b).astype(np.uint32)
+                dists_out[s:e] = np.asarray(d_b)
+            s = e
         return ids_out[: qs.m], dists_out[: qs.m]

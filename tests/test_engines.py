@@ -136,3 +136,12 @@ def test_arbitrary_k(small_ds, small_qs):
         np.testing.assert_allclose(
             np.sort(dists, 1), np.sort(odists, 1), atol=2e-3
         )
+
+
+def test_sharded_grouped_dispatch(small_ds, small_qs, oracle_small):
+    """G batches per dispatch: shard_map under an outer lax.scan."""
+    eng = ShardedEngine(small_ds, db_tile=64, query_batch=8,
+                        dispatch_group=4)
+    oids, odists = oracle_small
+    ids, dists = eng.search(small_qs)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)

@@ -69,7 +69,7 @@ class BatchedEngine:
         self,
         ds: Dataset,
         db_tile: int | None = None,
-        query_batch: int = 256,
+        query_batch: int | None = None,
         kprime: int = 128,
         dtype=jnp.float32,
         precision: str = "highest",
@@ -89,6 +89,11 @@ class BatchedEngine:
         self.db = device_db or DeviceDB.from_dataset(
             ds, db_tile=db_tile, dtype=dtype
         )
+        if query_batch is None:
+            # Small databases are dispatch-bound, not compute-bound: wider
+            # query batches amortize per-call overhead (measured on the
+            # D=10^4 default set: 256 → dispatch dominates).
+            query_batch = 1024 if self.db.n_pad <= (1 << 17) else 256
         self.query_batch = query_batch
         self.kprime = kprime
         self.precision = resolve_precision(precision)

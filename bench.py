@@ -11,6 +11,9 @@ overrides:
   HVQ_BENCH_ENGINE   engine name          (default "batched")
   HVQ_BENCH_BASELINE baseline QPS         (default computed from N)
   HVQ_BENCH_CATS     category count       (default 1000, contest-like)
+  HVQ_BENCH_CHECK    oracle spot-check queries (default 5)
+  HVQ_BENCH_CLUSTERS mixture clusters (0 = uniform reference distribution)
+  HVQ_BENCH_LOG      markdown file to append a CHANGELOG-style row to
 
 Baseline QPS (reference, i5-8400 6C best case, BASELINE.md):
   D=10^4:  10^4 q / 0.66 s  = 15152 QPS   (report "Optimization #2")
@@ -120,6 +123,18 @@ def main() -> None:
         extra["dist_check"] = res.status
         extra["max_dist_diff"] = res.max_abs_diff
     timer.report(stream=sys.stderr)
+    log = os.environ.get("HVQ_BENCH_LOG")
+    if log:
+        # CHANGELOG-style perf-history row (reference CHANGELOG.md workflow)
+        import datetime
+
+        with open(log, "a") as f:
+            f.write(
+                f"| {datetime.date.today()} | {engine_name} "
+                f"| D={n} Q={q} | {qps:.1f} QPS | {qps / baseline:.2f}× "
+                f"| {extra.get('recall_at_100', '-')} "
+                f"| {extra.get('dist_check', '-')} |\n"
+            )
     print(
         json.dumps(
             {

@@ -93,27 +93,45 @@ class IVFEngine:
         )
         _, buckets = jax.lax.top_k(-c_scores, nprobe)      # (B, p)
 
-        # 3: contiguous gather of every probed bucket's rows.
+        # 3-4: scan over probes — each step gathers ONE bucket per query
+        # (a contiguous cap-row block), computes exact masked distances, and
+        # merges into a running top-k. Bounds the working set at
+        # (B, cap, 128) instead of materializing all probes at once (a
+        # (B, p·cap, 128) gather at defaults is ~2 GB and crashes the
+        # compiler on some runtimes).
+        from hvq_tpu.ops import topk as topk_ops
+
+        B = qV.shape[0]
         lane = jnp.arange(idx.cap, dtype=jnp.int32)
-        pos = (buckets[:, :, None] * idx.cap + lane[None, None, :]).reshape(
-            qV.shape[0], nprobe * idx.cap
-        )                                                   # (B, S)
-        rows = jnp.take(Vp, pos, axis=0)                    # (B, S, 128)
-        Cg = jnp.take(C, pos, axis=0)
-        Tg = jnp.take(T, pos, axis=0)
-        oidg = jnp.take(oid, pos, axis=0)
+        init = (
+            jnp.full((B, k), jnp.inf, jnp.float32),
+            jnp.zeros((B, k), jnp.int32),
+        )
 
-        # 4: exact distances + fused predicates on the candidate pool.
-        d = exact_distances(qb.qV, rows)
-        ok = (oidg < sn)
-        ok &= (~active_c[:, None]) | (Cg == vv[:, None])
-        ok &= (~active_t[:, None]) | ((Tg >= ll[:, None]) & (Tg <= rr[:, None]))
-        d = jnp.where(ok, d, jnp.inf)
+        def probe_step(carry, bucket_j):                   # bucket_j: (B,)
+            pos = bucket_j[:, None] * idx.cap + lane[None, :]   # (B, cap)
+            rows = jnp.take(Vp, pos, axis=0)               # (B, cap, 128)
+            d = exact_distances(qb.qV, rows)
+            Cg = jnp.take(C, pos, axis=0)
+            Tg = jnp.take(T, pos, axis=0)
+            oidg = jnp.take(oid, pos, axis=0)
+            ok = (oidg < sn)
+            ok &= (~active_c[:, None]) | (Cg == vv[:, None])
+            ok &= (~active_t[:, None]) | (
+                (Tg >= ll[:, None]) & (Tg <= rr[:, None])
+            )
+            d = jnp.where(ok, d, jnp.inf)
+            merged = topk_ops.merge_topk(
+                carry[0], carry[1], d, oidg.astype(jnp.int32), k
+            )
+            return merged, None
 
-        # 5: top-k (already exact) + reference tail padding.
-        top_neg, top_idx = jax.lax.top_k(-d, k)
-        sel_ids = jnp.take_along_axis(oidg, top_idx, axis=1).astype(jnp.int32)
-        return common.finalize_with_tail(-top_neg, sel_ids, tail_V, qb, n, k)
+        (d_top, ids_top), _ = jax.lax.scan(
+            probe_step, init, jnp.moveaxis(buckets, 1, 0)
+        )
+
+        # 5: distances already exact — reference tail padding + final sort.
+        return common.finalize_with_tail(d_top, ids_top, tail_V, qb, n, k)
 
     # --- jitted exact-scan fallback (full masked scan of the IVF view) ----
     def _scan_batch(

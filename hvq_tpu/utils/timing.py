@@ -68,6 +68,30 @@ class PhaseTimer:
         return text
 
 
+@contextlib.contextmanager
+def track_host_memory():
+    """Peak host allocation inside the block — the MEM_TRACK analogue.
+
+    The reference's optional global new/delete byte counter (util.h:74-97)
+    tracks heap traffic; here tracemalloc reports (current, peak) bytes via
+    the returned dict after the block exits. Device-side memory lives in
+    utils.profiling.device_memory_stats.
+    """
+    import tracemalloc
+
+    was_tracing = tracemalloc.is_tracing()
+    if not was_tracing:
+        tracemalloc.start()
+    tracemalloc.reset_peak()
+    out = {}
+    try:
+        yield out
+    finally:
+        out["current_bytes"], out["peak_bytes"] = tracemalloc.get_traced_memory()
+        if not was_tracing:
+            tracemalloc.stop()
+
+
 def time_fn(fn, *args, warmup: int = 1, iters: int = 3) -> float:
     """Best-of-n wall time of a dispatchable, fenced. Returns seconds."""
     import jax

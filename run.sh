@@ -11,6 +11,13 @@ M="${2:-100}"
 DIR="${3:-./run_out}"
 mkdir -p "$DIR/logs"
 
+# PLATFORM=cpu ./run.sh ...  forces the CPU backend (e.g. for CI boxes);
+# unset, engines run on the default (TPU) backend.
+PLATFORM_FLAG=()
+if [[ -n "${PLATFORM:-}" ]]; then
+  PLATFORM_FLAG=(--platform "$PLATFORM")
+fi
+
 echo "== generating D=$N Q=$M (discretized C) =="
 python -m hvq_tpu.cli gen-data "$DIR/data.bin" "$N" --categories 100
 python -m hvq_tpu.cli gen-queries "$DIR/query.bin" "$M" --categories 100
@@ -20,7 +27,7 @@ for ENGINE in oracle batched sharded; do
   python -m hvq_tpu.cli run \
     --data "$DIR/data.bin" --queries "$DIR/query.bin" \
     --engine "$ENGINE" --output "$DIR/$ENGINE.bin" \
-    --cache-dir /tmp/jax_bench_cache \
+    --cache-dir /tmp/jax_bench_cache "${PLATFORM_FLAG[@]}" \
     > "$DIR/logs/$ENGINE.txt" 2>&1 || { tail -5 "$DIR/logs/$ENGINE.txt"; exit 1; }
   tail -2 "$DIR/logs/$ENGINE.txt"
 done

@@ -125,3 +125,12 @@ def test_allgather_topk_merge_8dev():
         np.sort(np.asarray(out_i), 1),
         np.sort(np.take_along_axis(flat_i, order, 1), 1),
     )
+
+
+def test_track_host_memory():
+    from hvq_tpu.utils.timing import track_host_memory
+
+    with track_host_memory() as mem:
+        buf = np.ones((1024, 1024), np.float32)  # ~4 MB
+        del buf
+    assert mem["peak_bytes"] > 4_000_000

@@ -39,22 +39,6 @@ class QueryBatch(NamedTuple):
     r: jnp.ndarray         # (B,) fp32
 
 
-def make_query_batch(
-    qV_np: np.ndarray,
-    qtype_np: np.ndarray,
-    v_np: np.ndarray,
-    l_np: np.ndarray,
-    r_np: np.ndarray,
-) -> QueryBatch:
-    from hvq_tpu.ops.distance import pad_vectors_np
-
-    qVp = pad_vectors_np(qV_np.astype(np.float32), _c.PADDED_DIM)
-    active_c, v, active_t, l, r = mask_ops.query_predicate_fields(
-        jnp.asarray(qtype_np), jnp.asarray(v_np), jnp.asarray(l_np), jnp.asarray(r_np)
-    )
-    return QueryBatch(jnp.asarray(qVp), active_c, v, active_t, l, r)
-
-
 def scan_database(
     tiles: tuple,            # (Vt (nt,Dt,128), Ct, Tt, dnt) reshaped views
     qb: QueryBatch,
@@ -77,10 +61,11 @@ def scan_database(
     Index-layer hooks: when the database is a *reordered view* (partitioned /
     IVF layouts), ``oid_tiles`` carries each row's original id — the
     sample-proportion limit tests the ORIGINAL id (the reference's ``j < sn``
-    is over file order, optimized.hpp:85) and reported ids are original ids,
-    while the carry tracks view positions for local gathers. ``tile_index``
-    scans only the listed tiles (tile pruning): entries < 0 are skipped via a
-    mask of the whole tile.
+    is over file order, optimized.hpp:85), while the returned ids are VIEW
+    POSITIONS so the caller's refinement gather stays local (map back to
+    original ids via ``finalize_view``). ``tile_index`` scans only the
+    listed tiles (tile pruning): entries < 0 are skipped via a mask of the
+    whole tile.
     """
     Vt, Ct, Tt, dnt = tiles
     B = qb.qV.shape[0]

@@ -218,11 +218,6 @@ class BatchedEngine:
         ids_out = np.empty((m_pad, k), dtype=np.uint32)
         dists_out = np.empty((m_pad, k), dtype=np.float32)
         G = max(1, self.dispatch_group)
-        total_nb = m_pad // B
-        if 1 < total_nb <= 4 * G:
-            # small query sets: one grouped dispatch covering everything
-            # (per-call overhead through the device attachment dominates)
-            G = total_nb
         db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
         s = 0
         while s < m_pad:

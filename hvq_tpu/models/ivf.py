@@ -1,24 +1,35 @@
-"""IVF approximate engine — selectivity-routed probes over a bucketed index.
+"""IVF approximate engine — bucket-major probes over a clustered layout.
 
 The approximate mode the reference never built (its "optimized" engines are
-exact scans; the contest task is nominally ANN — SURVEY.md §0). Per query
-batch:
+exact scans; the contest task is nominally ANN — SURVEY.md §0). Execution is
+**bucket-major**, the TPU-friendly inversion of classic per-query inverted
+lists (row-granular gathers crawl on TPU; measured 30× slower than the
+dense scan at equal bytes):
 
-  1. score bucket centroids: ‖c‖² − 2·Q·Cᵀ on the MXU           (B, nb)
-  2. take the top ``p`` buckets per query                        (B, p)
-  3. gather the probed buckets' rows — contiguous cap-row blocks (B, p·cap)
-  4. exact fp32 distances + fused predicate masks on the gather
-  5. top-k + the standard tail-padding finalization
+  1. rank bucket centroids for the whole query set on the MXU; take each
+     query's top ``nprobe`` buckets                       (one dispatch)
+  2. host: union the probed buckets of each query batch — every bucket is a
+     contiguous cap-row slab of the view
+  3. device: stream the union slabs (tile-granular dynamic slices run at
+     full HBM bandwidth) through the certified per-tile top-k merge — the
+     dense scan's shape, over union·cap rows instead of n. Bin reduces are
+     deliberately NOT used here: clustered queries concentrate their whole
+     top-k inside a couple of probed buckets, where per-bin candidate caps
+     lose neighbors wholesale
+  4. exact fp32 refinement of the survivors + reference tail padding
+
+Scanning the union instead of per-query lists can only ADD candidates per
+query, so per-query recall is ≥ classic IVF recall at the same nprobe.
+Batches whose union approaches the whole index degrade gracefully to dense-
+scan cost (the regime where IVF fundamentally cannot help).
 
 **Filtered probes** (BASELINE.json config 4): a predicate with selectivity
 ``s`` thins every bucket, so the probe count scales as ``nprobe / s`` —
-estimated on the host from attribute statistics collected at index-build
-time (category histogram + timestamp CDF sample; vectors are never
-consulted). When the scaled probe count approaches a full scan
-(``> exact_frac · nb``), the query routes to an **exact masked scan over the
-IVF view itself** — same memory, full recall, and still the batched-matmul
-scan path. Probe counts are bucketed to powers of two so jit
-specializations stay bounded.
+estimated from attribute statistics collected at build time (category
+histogram + timestamp CDF; vectors are never consulted). When the scaled
+count approaches a full scan, the query routes to an **exact masked scan of
+the IVF view itself** — same memory, full recall. Probe counts are bucketed
+to powers of two so jit specializations stay bounded.
 
 Recall is gated ≥ 0.99 against the oracle (tests/test_ivf.py); uniform
 i.i.d. vectors (the reference generator's distribution, write_data.c:38)
@@ -36,7 +47,7 @@ from hvq_tpu import constants as _c
 from hvq_tpu.models import common
 from hvq_tpu.index.ivf import IVFIndex
 from hvq_tpu.ops import masks as mask_ops
-from hvq_tpu.ops.distance import exact_distances, pad_vectors_np
+from hvq_tpu.ops.distance import pad_vectors_np
 from hvq_tpu.utils.formats import Dataset, QuerySet
 
 
@@ -52,6 +63,7 @@ class IVFEngine:
         nprobe: int = 16,
         exact_frac: float = 0.25,
         query_batch: int = 256,
+        kprime: int = 128,
         kmeans_iters: int = 8,
         n_clusters: int | None = None,
         seed: int = 0,
@@ -63,75 +75,57 @@ class IVFEngine:
         self.nprobe = min(nprobe, self.index.num_buckets)
         self.exact_frac = exact_frac
         self.query_batch = query_batch
-        self.tail_V = jnp.asarray(common.tail_block_np(ds.V, t=128))
-        self._probe_jit = jax.jit(
-            self._probe_batch, static_argnames=("nprobe", "k")
-        )
+        self.kprime = kprime
+        self.tail_V = jnp.asarray(common.tail_block_np(ds.V, t=kprime))
+        self._rank_jit = jax.jit(self._rank_buckets, static_argnames=("p",))
+        self._union_jit = jax.jit(self._union_scan, static_argnames=("k",))
         self._scan_jit = jax.jit(self._scan_batch, static_argnames=("k",))
 
-    # --- jitted probe path -----------------------------------------------
-    def _probe_batch(
-        self,
-        Vp, C, T, oid, cents, c_norms, tail_V,
-        qV, qtype, v, l, r,
-        sn, n,
-        nprobe: int,
-        k: int,
-    ):
-        idx = self.index
-        active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
-            qtype, v, l, r
-        )
-        qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
-
-        # 1-2: rank buckets on the MXU, take top-nprobe per query.
+    # --- jitted stages -----------------------------------------------------
+    def _rank_buckets(self, cents, c_norms, qV, p: int):
+        """(m, p) probed bucket ids for all queries, one dispatch."""
         c_scores = c_norms[None, :] - 2.0 * jax.lax.dot_general(
             qV, cents,
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        _, buckets = jax.lax.top_k(-c_scores, nprobe)      # (B, p)
+        _, buckets = jax.lax.top_k(-c_scores, p)
+        return buckets.astype(jnp.int32)
 
-        # 3-4: scan over probes — each step gathers ONE bucket per query
-        # (a contiguous cap-row block), computes exact masked distances, and
-        # merges into a running top-k. Bounds the working set at
-        # (B, cap, 128) instead of materializing all probes at once (a
-        # (B, p·cap, 128) gather at defaults is ~2 GB and crashes the
-        # compiler on some runtimes).
-        from hvq_tpu.ops import topk as topk_ops
-
-        B = qV.shape[0]
-        lane = jnp.arange(idx.cap, dtype=jnp.int32)
-        init = (
-            jnp.full((B, k), jnp.inf, jnp.float32),
-            jnp.zeros((B, k), jnp.int32),
+    def _union_scan(
+        self,
+        Vp, C, T, dn, oid, tail_V,
+        tile_index,                  # (nt_sel,) bucket ids, -1 = padding
+        qV, qtype, v, l, r,
+        sn, n,
+        k: int,
+    ):
+        # NOTE: bucket scans must use the certified per-tile top-k merge,
+        # never a bin reduce — clustered queries concentrate their whole
+        # top-k inside one or two probed buckets, the exact regime where a
+        # per-bin candidate cap loses neighbors wholesale.
+        active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
+            qtype, v, l, r
         )
-
-        def probe_step(carry, bucket_j):                   # bucket_j: (B,)
-            pos = bucket_j[:, None] * idx.cap + lane[None, :]   # (B, cap)
-            rows = jnp.take(Vp, pos, axis=0)               # (B, cap, 128)
-            d = exact_distances(qb.qV, rows)
-            Cg = jnp.take(C, pos, axis=0)
-            Tg = jnp.take(T, pos, axis=0)
-            oidg = jnp.take(oid, pos, axis=0)
-            ok = (oidg < sn)
-            ok &= (~active_c[:, None]) | (Cg == vv[:, None])
-            ok &= (~active_t[:, None]) | (
-                (Tg >= ll[:, None]) & (Tg <= rr[:, None])
-            )
-            d = jnp.where(ok, d, jnp.inf)
-            merged = topk_ops.merge_topk(
-                carry[0], carry[1], d, oidg.astype(jnp.int32), k
-            )
-            return merged, None
-
-        (d_top, ids_top), _ = jax.lax.scan(
-            probe_step, init, jnp.moveaxis(buckets, 1, 0)
+        qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
+        cap = self.index.cap
+        nt = Vp.shape[0] // cap
+        scores, pos = common.scan_database(
+            (
+                Vp.reshape(nt, cap, Vp.shape[-1]),
+                C.reshape(nt, cap),
+                T.reshape(nt, cap),
+                dn.reshape(nt, cap),
+            ),
+            qb,
+            sn,
+            kprime=self.kprime,
+            db_tile=cap,
+            oid_tiles=oid.reshape(nt, cap),
+            tile_index=tile_index,
         )
-
-        # 5: distances already exact — reference tail padding + final sort.
-        return common.finalize_with_tail(d_top, ids_top, tail_V, qb, n, k)
+        return common.finalize_view(scores, pos, Vp, oid, tail_V, qb, n, k)
 
     # --- jitted exact-scan fallback (full masked scan of the IVF view) ----
     def _scan_batch(
@@ -157,7 +151,7 @@ class IVFEngine:
             ),
             qb,
             sn,
-            kprime=max(128, k),
+            kprime=max(self.kprime, k),
             db_tile=Dt,
             oid_tiles=oid_view.reshape(nt, Dt),
         )
@@ -186,7 +180,24 @@ class IVFEngine:
         np_eff = np.minimum(
             2 ** np.ceil(np.log2(np.maximum(need, 1))).astype(np.int64), nb
         )
-        np_eff[exact] = 0  # marker
+        np_eff[exact] = 0  # exact-scan marker
+
+        # Stage 1: probe rankings for all non-exact queries in one dispatch.
+        probe_idx = np.nonzero(np_eff > 0)[0]
+        buckets_all = None
+        if probe_idx.size:
+            p_max = int(np_eff[probe_idx].max())
+            qV_probe = pad_vectors_np(
+                qs.V[probe_idx].astype(np.float32), _c.PADDED_DIM
+            )
+            buckets_all = np.asarray(
+                self._rank_jit(
+                    idx.centroids, idx.c_norms, jnp.asarray(qV_probe),
+                    p=p_max,
+                )
+            )
+            probe_row = np.full(qs.m, -1, np.int64)
+            probe_row[probe_idx] = np.arange(probe_idx.size)
 
         ids_out = np.empty((qs.m, k), dtype=np.uint32)
         dists_out = np.empty((qs.m, k), dtype=np.float32)
@@ -197,8 +208,10 @@ class IVFEngine:
                 if p == 0:
                     ids_b, d_b = self._run_scan(batch_idx, qs, sn, n_t, k)
                 else:
-                    ids_b, d_b = self._run_probe(
-                        batch_idx, qs, sn, n_t, int(p), k
+                    rows = probe_row[batch_idx]
+                    probes = buckets_all[rows][:, : int(p)]
+                    ids_b, d_b = self._run_union(
+                        batch_idx, qs, probes, sn, n_t, k
                     )
                 ids_out[batch_idx] = ids_b[: batch_idx.size]
                 dists_out[batch_idx] = d_b[: batch_idx.size]
@@ -223,12 +236,18 @@ class IVFEngine:
             jnp.asarray(pad(qs.r, -1.0)),
         )
 
-    def _run_probe(self, batch_idx, qs, sn, n_t, nprobe, k):
+    def _run_union(self, batch_idx, qs, probes, sn, n_t, k):
         idx = self.index
+        union = np.unique(probes)
+        nt_sel = max(1, int(union.size))
+        size = 1 << (nt_sel - 1).bit_length()          # pow2 jit buckets
+        tile_index = np.full(size, -1, np.int32)
+        tile_index[: union.size] = union
         qargs = self._query_args(batch_idx, qs)
-        ids_b, d_b = self._probe_jit(
-            idx.Vp, idx.C, idx.T, idx.oid, idx.centroids, idx.c_norms,
-            self.tail_V, *qargs, sn, n_t, nprobe=nprobe, k=k,
+        ids_b, d_b = self._union_jit(
+            idx.Vp, idx.C, idx.T, idx.d_norms, idx.oid, self.tail_V,
+            jnp.asarray(tile_index),
+            *qargs, sn, n_t, k=k,
         )
         return np.asarray(ids_b).astype(np.uint32), np.asarray(d_b)
 

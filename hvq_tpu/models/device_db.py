@@ -70,12 +70,22 @@ class DeviceDB:
         C[:n] = ds.C
         T = np.zeros(n_pad, np.float32)
         T[:n] = ds.T
-        d_norms = np.einsum("nd,nd->n", Vp_host, Vp_host).astype(np.float32)
+        Vp_dev = jnp.asarray(Vp_host, dtype=dtype)
+        if dtype == jnp.float32:
+            d_norms = jnp.asarray(
+                np.einsum("nd,nd->n", Vp_host, Vp_host).astype(np.float32)
+            )
+        else:
+            # low-precision storage: norms must describe the *stored*
+            # (rounded) vectors or the expansion scores carry a per-row bias
+            d_norms = jnp.sum(
+                Vp_dev.astype(jnp.float32) ** 2, axis=1
+            )
         return cls(
-            Vp=jnp.asarray(Vp_host, dtype=dtype),
+            Vp=Vp_dev,
             C=jnp.asarray(C),
             T=jnp.asarray(T),
-            d_norms=jnp.asarray(d_norms),
+            d_norms=d_norms,
             n=n,
             db_tile=db_tile,
         )

@@ -289,9 +289,12 @@ def deferred_packed_scan_xla(
     nt = n_pad // db_tile
     B = qV.shape[0]
     bins = db_tile // BIN
-    qVf = qV.astype(jnp.float32)
+    # match the database dtype: bf16 storage → bf16 matmul inputs (fp32
+    # accumulate via preferred_element_type), halving HBM bytes per pass
+    qVf = qV.astype(Vp.dtype)
+    qf32 = qV.astype(jnp.float32)
     if qnorm is None:
-        qnorm = jnp.sum(qVf * qVf, axis=1)          # (B,) makes dists ≥ 0
+        qnorm = jnp.sum(qf32 * qf32, axis=1)        # (B,) makes dists ≥ 0
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bins, BIN), 2)
     INF_PACK = jnp.int32(0x7F800000)                # +inf, lane 0
@@ -307,7 +310,7 @@ def deferred_packed_scan_xla(
     def step(_, tile):
         V_t, C_t, T_t, dn_t, oid_t = tile
         scores = dn_t[None, :] - 2.0 * jax.lax.dot_general(
-            qVf, V_t.astype(jnp.float32),
+            qVf, V_t,
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=precision,
             preferred_element_type=jnp.float32,

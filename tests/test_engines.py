@@ -145,3 +145,27 @@ def test_sharded_grouped_dispatch(small_ds, small_qs, oracle_small):
     oids, odists = oracle_small
     ids, dists = eng.search(small_qs)
     assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+
+
+def test_bf16_fast_mode_recall():
+    """bf16 storage: approximate fast mode — recall stays high, distances
+    within bf16 rounding of the oracle's."""
+    import jax.numpy as jnp
+
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(32768, seed=80, categories=20)
+    qs = generate_queries(32, seed=81, categories=20)
+    eng = BatchedEngine(ds, db_tile=512, query_batch=32,
+                        dtype=jnp.bfloat16, precision="default",
+                        scan_impl="xla_packed")
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    from hvq_tpu.utils.compare import recall_at_k
+
+    rec = recall_at_k(ids, oids, dists, odists, tolerance=50.0)
+    assert rec >= 0.95, f"bf16 mode recall {rec}"
+    # distances of reported ids reflect the rounded vectors: within ~1%
+    true_d = ((ds.V[ids.astype(np.int64)] - qs.V[:, None, :]) ** 2).sum(-1)
+    rel = np.abs(dists - true_d) / np.maximum(true_d, 1.0)
+    assert rel.max() < 0.05

@@ -111,3 +111,17 @@ def test_build_index_and_run(workdir):
     out = run_cli("compare", str(workdir / "oracle.bin"),
                   str(workdir / "part.bin"))
     assert "same" in out.stdout or "similar" in out.stdout
+
+
+def test_run_with_profile_trace(workdir, tmp_path):
+    trace_dir = tmp_path / "trace"
+    r = run_cli(
+        "run", "--data", str(workdir / "data.bin"),
+        "--queries", str(workdir / "query.bin"),
+        "--engine", "batched", "--platform", "cpu",
+        "--db-tile", "256", "--query-batch", "8",
+        "--profile", str(trace_dir),
+        "--output", str(workdir / "prof.bin"),
+    )
+    assert "search:" in r.stderr
+    assert any(trace_dir.rglob("*"))  # trace artifacts written

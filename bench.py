@@ -74,6 +74,11 @@ def main() -> None:
         engine_kwargs["query_batch"] = int(os.environ["HVQ_BENCH_QB"])
     if os.environ.get("HVQ_BENCH_PRECISION"):
         engine_kwargs["precision"] = os.environ["HVQ_BENCH_PRECISION"]
+    if os.environ.get("HVQ_BENCH_DTYPE") == "bf16":
+        import jax.numpy as jnp
+
+        engine_kwargs["dtype"] = jnp.bfloat16
+        engine_kwargs.setdefault("precision", "default")
     with timer.phase("build"):
         engine = get_engine(engine_name)(ds, **engine_kwargs)
 

@@ -169,3 +169,12 @@ def test_bf16_fast_mode_recall():
     true_d = ((ds.V[ids.astype(np.int64)] - qs.V[:, None, :]) ** 2).sum(-1)
     rel = np.abs(dists - true_d) / np.maximum(true_d, 1.0)
     assert rel.max() < 0.05
+
+
+def test_sharded_sample_proportion(small_ds, small_qs):
+    from hvq_tpu.models.oracle import search_oracle
+
+    eng = ShardedEngine(small_ds, db_tile=64, query_batch=32)
+    oids, odists = search_oracle(small_ds, small_qs, sample_proportion=0.53)
+    ids, dists = eng.search(small_qs, sample_proportion=0.53)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)

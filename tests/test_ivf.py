@@ -71,3 +71,13 @@ def test_ivf_padding_path():
     ids, dists = eng.search(qs)
     assert set(ids[0]) == set(range(1900, 2000))
     assert np.all(np.diff(dists[0]) >= -1e-6)
+
+
+def test_ivf_sample_proportion(clustered):
+    """sn masks original file order; recall holds on the surviving prefix."""
+    ds, qs = clustered
+    eng = IVFEngine(ds, cap=256, nprobe=8, query_batch=64, kmeans_iters=4)
+    oids, odists = search_oracle(ds, qs, sample_proportion=0.7)
+    ids, dists = eng.search(qs, sample_proportion=0.7)
+    rec = recall_at_k(ids, oids, dists, odists)
+    assert rec >= 0.98, f"IVF sp recall {rec}"

@@ -13,6 +13,8 @@ overrides:
   HVQ_BENCH_CATS     category count       (default 1000, contest-like)
   HVQ_BENCH_CHECK    oracle spot-check queries (default 5)
   HVQ_BENCH_CLUSTERS mixture clusters (0 = uniform reference distribution)
+  HVQ_BENCH_DTYPE    "bf16" = low-precision fast mode (recall reported)
+  HVQ_BENCH_SCAN_IMPL / HVQ_BENCH_DB_TILE / HVQ_BENCH_QB / HVQ_BENCH_PRECISION
   HVQ_BENCH_LOG      markdown file to append a CHANGELOG-style row to
 
 Baseline QPS (reference, i5-8400 6C best case, BASELINE.md):

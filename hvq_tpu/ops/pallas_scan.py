@@ -267,6 +267,7 @@ def deferred_packed_scan_xla(
     db_tile=8192, bin_top=2,
     precision=jax.lax.Precision.HIGHEST,
     qnorm=None,
+    unroll=8,
 ):
     """Packed-key variant of the deferred bin scan — the fast TPU path.
 
@@ -338,7 +339,11 @@ def deferred_packed_scan_xla(
                 )
         return None, jnp.stack(outs, axis=1)         # (B, R, bins)
 
-    _, packed_out = jax.lax.scan(step, None, xs)      # (nt, B, R, bins)
+    # unroll: several tiles per loop iteration amortizes per-step scan
+    # overhead (~70 µs/step measured), the dominant cost at 10^7 rows
+    _, packed_out = jax.lax.scan(
+        step, None, xs, unroll=min(unroll, nt)
+    )                                                 # (nt, B, R, bins)
     W = nt * bin_top * bins
     packed_flat = jnp.moveaxis(packed_out, 0, 1).reshape(B, W)
 

@@ -112,6 +112,8 @@ def _cmd_compare(args) -> int:
     from hvq_tpu.utils import formats
     from hvq_tpu.utils.compare import compare_distances
 
+    import numpy as np
+
     paths = [p if p.endswith(".dist") else p + ".dist" for p in args.files]
     worst = "same"
     rank = {"same": 0, "similar": 1, "different": 2}
@@ -125,6 +127,16 @@ def _cmd_compare(args) -> int:
                 f"(max |Δ| = {res.max_abs_diff:.6g}, "
                 f"{res.num_exceeding}/{res.total} beyond {args.tolerance})"
             )
+            if res.status == "different" and args.show_diffs:
+                # print the first offending entries, as compare.out does
+                # (reference src/compare_data.cpp:44-58 prints up to 50)
+                bad = np.argwhere(np.abs(a - b) > args.tolerance)
+                for qi, ki in bad[: args.show_diffs]:
+                    print(
+                        f"  query {qi} rank {ki}: "
+                        f"{a[qi, ki]:.6f} vs {b[qi, ki]:.6f} "
+                        f"(Δ = {a[qi, ki] - b[qi, ki]:+.6f})"
+                    )
             if rank[res.status] > rank[worst]:
                 worst = res.status
     return 2 if worst == "different" else 0
@@ -218,6 +230,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="pairwise-diff .dist files (compare_data.cpp analogue)")
     c.add_argument("files", nargs="+")
     c.add_argument("--tolerance", type=float, default=0.002)
+    c.add_argument("--show-diffs", type=int, default=50, metavar="N",
+                   help="print up to N offending entries (0 = none)")
     c.set_defaults(fn=_cmd_compare)
 
     bi = sub.add_parser("build-index",

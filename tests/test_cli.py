@@ -125,3 +125,22 @@ def test_run_with_profile_trace(workdir, tmp_path):
     )
     assert "search:" in r.stderr
     assert any(trace_dir.rglob("*"))  # trace artifacts written
+
+
+def test_run_sharded_engine(workdir):
+    if not (workdir / "oracle.bin.dist").exists():
+        run_cli("run", "--data", str(workdir / "data.bin"),
+                "--queries", str(workdir / "query.bin"),
+                "--engine", "oracle", "--platform", "cpu",
+                "--output", str(workdir / "oracle.bin"))
+    r = run_cli(
+        "run", "--data", str(workdir / "data.bin"),
+        "--queries", str(workdir / "query.bin"),
+        "--engine", "sharded", "--platform", "cpu",
+        "--db-tile", "64", "--query-batch", "8",
+        "--output", str(workdir / "sharded.bin"),
+    )
+    assert "search:" in r.stderr
+    out = run_cli("compare", str(workdir / "oracle.bin"),
+                  str(workdir / "sharded.bin"))
+    assert "same" in out.stdout or "similar" in out.stdout

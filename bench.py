@@ -85,10 +85,10 @@ def main() -> None:
         engine = get_engine(engine_name)(ds, **engine_kwargs)
 
     # Warmup: compile all program shapes (single-batch AND grouped dispatch).
-    warm_n = engine.query_batch * (
-        1 + getattr(engine, "dispatch_group", 1)
-    )
-    warm_n = min(warm_n, q)
+    # dispatch_group == 0 → whole-set-in-one-call mode: the program shape
+    # depends on the full query count, so warm with the full set.
+    dg = getattr(engine, "dispatch_group", 1)
+    warm_n = q if dg == 0 else min(engine.query_batch * (1 + dg), q)
     warm = type(qs)(
         qtype=qs.qtype[:warm_n],
         v=qs.v[:warm_n],

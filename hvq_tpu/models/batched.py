@@ -46,7 +46,8 @@ from hvq_tpu.ops.pallas_scan import (
     choose_bin_top,
     deferred_bin_scan_xla,
     deferred_packed_scan_xla,
-    fused_bin_scan,
+    fused_packed_scan,
+    kernel_bin_top,
 )
 from hvq_tpu.utils.formats import Dataset, QuerySet
 
@@ -76,16 +77,17 @@ class BatchedEngine:
         topk_strategy: str = "topk",
         scan_impl: str = "auto",
         interpret: bool | None = None,
-        dispatch_group: int = 8,
+        dispatch_group: int | None = None,
         device_db: DeviceDB | None = None,
     ):
         self.scan_impl = (
             _default_scan_impl() if scan_impl == "auto" else scan_impl
         )
         if db_tile is None:
-            # VMEM budget caps the fused kernel's tile; XLA paths want big
-            # tiles to amortize per-step scan overhead.
-            db_tile = 2048 if self.scan_impl == "pallas" else 8192
+            # 8192 rows/tile: XLA paths amortize per-step scan overhead; the
+            # fused kernel gets out_w = 2·64 = 128 (Mosaic block constraint)
+            # with the cheapest sound bin depth.
+            db_tile = 8192
         self.db = device_db or DeviceDB.from_dataset(
             ds, db_tile=db_tile, dtype=dtype
         )
@@ -99,8 +101,12 @@ class BatchedEngine:
         self.precision = resolve_precision(precision)
         self.topk_strategy = topk_strategy
         # R entries kept per 128-lane bin; None = no sound choice (small n,
-        # or neighbor-clustered layouts) → certified-exact XLA path.
-        self.bin_top = choose_bin_top(self.db.n_pad, kprime)
+        # or neighbor-clustered layouts) → certified-exact XLA path. The
+        # Pallas kernel additionally needs R·(db_tile/128) % 128 == 0.
+        if self.scan_impl == "pallas":
+            self.bin_top = kernel_bin_top(self.db.db_tile, self.db.n_pad, kprime)
+        else:
+            self.bin_top = choose_bin_top(self.db.n_pad, kprime)
         if (
             self.scan_impl in ("pallas", "xla_deferred", "xla_packed")
             and self.bin_top is None
@@ -113,6 +119,13 @@ class BatchedEngine:
             else interpret
         )
         self.compute_dtype = dtype
+        if dispatch_group is None:
+            # Small databases are bound by per-dispatch relay/host latency
+            # (~60 ms/call measured), not compute: run the WHOLE query set
+            # as one device program (dispatch_group=0 sentinel). At scale,
+            # G=8 amortizes the fixed cost to noise while keeping program
+            # shapes reusable across query-set sizes.
+            dispatch_group = 0 if self.db.n_pad <= (1 << 17) else 8
         self.dispatch_group = dispatch_group
         self._pos = jnp.arange(self.db.n_pad, dtype=jnp.int32)
         self.tail_V = jnp.asarray(common.tail_block_np(ds.V, t=kprime))
@@ -140,7 +153,7 @@ class BatchedEngine:
         Dt = self.db.db_tile
         if self.scan_impl in ("pallas", "xla_deferred", "xla_packed"):
             if self.scan_impl == "pallas":
-                out_s, out_i = fused_bin_scan(
+                out_s, out_i = fused_packed_scan(
                     Vp, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
                     db_tile=Dt, bin_top=self.bin_top,
@@ -217,8 +230,14 @@ class BatchedEngine:
 
         ids_out = np.empty((m_pad, k), dtype=np.uint32)
         dists_out = np.empty((m_pad, k), dtype=np.float32)
-        G = max(1, self.dispatch_group)
+        # dispatch_group == 0: whole query set in one device call
+        G = self.dispatch_group if self.dispatch_group else m_pad // B
+        G = max(1, G)
         db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
+        # Enqueue every dispatch without fetching (device results are tiny);
+        # host→device uploads of group i+1 then overlap compute of group i,
+        # and the relay's per-call latency pipelines instead of serializing.
+        pending = []
         s = 0
         while s < m_pad:
             nb = (m_pad - s) // B
@@ -231,8 +250,6 @@ class BatchedEngine:
                     grp(qVp_all), grp(qtype), grp(v), grp(l), grp(r),
                     sn, n_t, self_k=k,
                 )
-                ids_out[s:e] = np.asarray(ids_b).reshape(G * B, k)
-                dists_out[s:e] = np.asarray(d_b).reshape(G * B, k)
             else:
                 e = s + B
                 ids_b, d_b = self._search_jit(
@@ -244,7 +261,9 @@ class BatchedEngine:
                     jnp.asarray(r[s:e]),
                     sn, n_t, self_k=k,
                 )
-                ids_out[s:e] = np.asarray(ids_b).astype(np.uint32)
-                dists_out[s:e] = np.asarray(d_b)
+            pending.append((s, e, ids_b, d_b))
             s = e
+        for s, e, ids_b, d_b in pending:
+            ids_out[s:e] = np.asarray(ids_b).reshape(e - s, k)
+            dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
         return ids_out[: qs.m], dists_out[: qs.m]

@@ -90,10 +90,13 @@ class ShardedEngine:
         self.topk_strategy = topk_strategy
         self.compute_dtype = dtype
         # Per-shard fused Pallas kernel (same policy as BatchedEngine).
-        from hvq_tpu.ops.pallas_scan import choose_bin_top
+        from hvq_tpu.ops.pallas_scan import choose_bin_top, kernel_bin_top
 
         local_rows = self.db.n_pad // self.n_d
-        self.bin_top = choose_bin_top(local_rows, kprime)
+        if scan_impl == "pallas":
+            self.bin_top = kernel_bin_top(db_tile, local_rows, kprime)
+        else:
+            self.bin_top = choose_bin_top(local_rows, kprime)
         if scan_impl == "auto":
             # See models/batched._default_scan_impl: Mosaic compiles hang on
             # this environment's axon relay; the packed deferred scan is the
@@ -153,19 +156,20 @@ class ShardedEngine:
                 from hvq_tpu.ops.pallas_scan import (
                     deferred_bin_scan_xla,
                     deferred_packed_scan_xla,
-                    fused_bin_scan,
+                    fused_packed_scan,
                 )
 
                 gid_l = (
                     jnp.arange(local_n, dtype=jnp.int32) + offset
                 ).astype(jnp.int32)
                 if self.scan_impl == "pallas":
-                    out_s, out_i = fused_bin_scan(
+                    out_s, out_i = fused_packed_scan(
                         Vp_l, C_l, T_l, dn_l, gid_l,
                         qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
                         db_tile=db_tile, bin_top=self.bin_top,
                         interpret=self.interpret,
                     )
+                    out_i = out_i + offset  # local positions → global ids
                 elif self.scan_impl == "xla_packed":
                     out_s, out_i = deferred_packed_scan_xla(
                         Vp_l, C_l, T_l, dn_l, gid_l,
@@ -255,6 +259,9 @@ class ShardedEngine:
         ids_out = np.empty((m_pad, k), dtype=np.uint32)
         dists_out = np.empty((m_pad, k), dtype=np.float32)
         G = max(1, self.dispatch_group)
+        # Enqueue all dispatches, fetch at the end (see BatchedEngine.search:
+        # overlaps uploads with compute, pipelines per-call latency).
+        pending = []
         s = 0
         while s < m_pad:
             nb = (m_pad - s) // B
@@ -269,8 +276,6 @@ class ShardedEngine:
                     grp(l, grep), grp(r, grep),
                     sn, n_t, k=k,
                 )
-                ids_out[s:e] = np.asarray(ids_b).reshape(G * B, k)
-                dists_out[s:e] = np.asarray(d_b).reshape(G * B, k)
             else:
                 e = s + B
                 ids_b, d_b = self._search_jit(
@@ -282,7 +287,9 @@ class ShardedEngine:
                     jax.device_put(jnp.asarray(r[s:e]), qrep),
                     sn, n_t, k=k,
                 )
-                ids_out[s:e] = np.asarray(ids_b).astype(np.uint32)
-                dists_out[s:e] = np.asarray(d_b)
+            pending.append((s, e, ids_b, d_b))
             s = e
+        for s, e, ids_b, d_b in pending:
+            ids_out[s:e] = np.asarray(ids_b).reshape(e - s, k)
+            dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
         return ids_out[: qs.m], dists_out[: qs.m]

@@ -359,6 +359,184 @@ def deferred_packed_scan_xla(
     return dist, pos
 
 
+def kernel_bin_top(db_tile: int, n_pad: int, kprime: int = 128) -> int | None:
+    """bin_top for the fused packed kernel: at least the Poisson-sound R
+    (choose_bin_top), rounded up so the per-tile output width
+    ``R * db_tile/BIN`` is a multiple of 128 (Mosaic requires output block
+    last dims divisible by 128)."""
+    R0 = choose_bin_top(n_pad, kprime)
+    if R0 is None:
+        return None
+    bins = db_tile // BIN
+    R = R0
+    while (R * bins) % 128:
+        R += 1
+    return R
+
+
+def _make_packed_kernel(bin_top: int):
+    def _kernel(
+        sn_ref,                       # SMEM scalar-prefetch: scan limit
+        V_ref,                        # (Dt, 128) database tile
+        C_ref, T_ref, dn_ref,         # (1, Dt) attribute / norm rows
+        oid_ref,                      # (1, Dt) int32 original ids (sn mask)
+        qV_ref,                       # (B, 128) query block (replicated)
+        qn_ref,                       # (B, 1) query squared norms
+        ac_ref, v_ref, at_ref, l_ref, r_ref,  # (B, 1) predicate fields
+        out_ref,                      # (B, bin_top * Dt/BIN) int32 packed keys
+    ):
+        Dt = V_ref.shape[0]
+        B = qV_ref.shape[0]
+        bins = Dt // BIN
+
+        # MXU: dist = ‖q‖² + ‖d‖² − 2·q·d  (fp32-faithful, ≥ 0)
+        qd = jax.lax.dot_general(
+            qV_ref[:], V_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        dist = jnp.maximum(
+            dn_ref[0, :][None, :] - 2.0 * qd + qn_ref[:], 0.0
+        )
+
+        # VPU: fused predicate mask (reference optimized.hpp:84-117)
+        ok = oid_ref[0, :][None, :] < sn_ref[0]
+        ok &= jnp.logical_or(ac_ref[:] == 0, C_ref[0, :][None, :] == v_ref[:])
+        ok &= jnp.logical_or(
+            at_ref[:] == 0,
+            jnp.logical_and(T_ref[0, :][None, :] >= l_ref[:],
+                            T_ref[0, :][None, :] <= r_ref[:]),
+        )
+        dist = jnp.where(ok, dist, jnp.inf)
+
+        # VPU: packed keys — bitcast(dist) & ~0x7F | lane. Order-preserving
+        # for non-negative floats; each bin round is ONE min-reduce.
+        d3 = dist.reshape(B, bins, BIN)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, bins, BIN), 2)
+        packed = (
+            pltpu.bitcast(d3, jnp.int32) & jnp.int32(~0x7F)
+        ) | lane_iota
+        for rnd in range(bin_top):
+            m = jnp.min(packed, axis=2)              # (B, bins)
+            out_ref[:, rnd * bins : (rnd + 1) * bins] = m
+            if rnd + 1 < bin_top:
+                packed = jnp.where(
+                    lane_iota == (m & jnp.int32(0x7F))[:, :, None],
+                    jnp.int32(0x7F800000), packed,
+                )
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("db_tile", "bin_top", "interpret")
+)
+def fused_packed_scan(
+    Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
+    db_tile: int = 8192,
+    bin_top: int = 2,
+    interpret: bool = False,
+):
+    """Fused Pallas kernel with packed distance+lane keys — the intended
+    TPU default. Same output contract as :func:`deferred_packed_scan_xla`:
+    (dist (B, W) float32 [low mantissa bits zeroed, +inf = empty],
+    pos (B, W) int32 row positions), W = nt · bin_top · db_tile/128.
+
+    One HBM read of the database per query batch; the (B, Dt) score tile,
+    mask, and bin reduces all live in VMEM. ``bin_top * db_tile/128`` must
+    be a multiple of 128 (use :func:`kernel_bin_top`).
+    """
+    n_pad, d = Vp.shape
+    if n_pad % db_tile:
+        raise ValueError(f"n_pad {n_pad} not divisible by db_tile {db_tile}")
+    if db_tile % BIN:
+        raise ValueError(f"db_tile {db_tile} not divisible by bin {BIN}")
+    nt = n_pad // db_tile
+    B = qV.shape[0]
+    bins = db_tile // BIN
+    out_w = bin_top * bins
+    if out_w % 128:
+        raise ValueError(
+            f"bin_top*bins = {out_w} must be a multiple of 128 "
+            "(Mosaic output block constraint); see kernel_bin_top"
+        )
+
+    col = lambda i, *_: (0, i)           # queries replicated across grid steps
+    row = lambda i, *_: (i, 0)           # database tiles marching down rows
+    rep = lambda i, *_: (0, 0)
+
+    qf32 = qV.astype(jnp.float32)
+    qnorm = jnp.sum(qf32 * qf32, axis=1, keepdims=True)   # (B, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((db_tile, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, d), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, out_w), col, memory_space=pltpu.VMEM),
+        ],
+    )
+
+    (packed_out,) = pl.pallas_call(
+        _make_packed_kernel(bin_top),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, nt * out_w), jnp.int32)],
+        interpret=interpret,
+        # The (B, Dt) score tile + packed keys + iota live in VMEM at once:
+        # ~29 MB at B=256, Dt=8192 — above the 16 MB default scoped limit
+        # but comfortably inside v5e's 128 MB physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * d,
+            bytes_accessed=n_pad * d * 4 + B * nt * out_w * 4,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(sn, jnp.int32).reshape(1),
+        Vp.astype(jnp.float32),
+        C.reshape(1, -1),
+        T.reshape(1, -1),
+        dn.reshape(1, -1),
+        oid.reshape(1, -1).astype(jnp.int32),
+        qf32,
+        qnorm,
+        active_c.astype(jnp.int32).reshape(B, 1),
+        v.astype(jnp.float32).reshape(B, 1),
+        active_t.astype(jnp.int32).reshape(B, 1),
+        l.astype(jnp.float32).reshape(B, 1),
+        r.astype(jnp.float32).reshape(B, 1),
+    )
+
+    # unpack: position = tile*Dt + bin*BIN + lane (identical decomposition
+    # to deferred_packed_scan_xla — round-major layout inside each tile)
+    W = nt * out_w
+    colw = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    tile_idx = colw // out_w
+    bin_idx = colw % bins
+    lane = packed_out & jnp.int32(0x7F)
+    pos = tile_idx * db_tile + bin_idx * BIN + lane
+    dist = jax.lax.bitcast_convert_type(
+        packed_out & jnp.int32(~0x7F), jnp.float32
+    )
+    return dist, pos
+
+
 def fused_bin_scan_reference(
     Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
     db_tile=2048, bin_top=2,

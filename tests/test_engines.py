@@ -106,7 +106,8 @@ def test_sharded_pallas_scan():
     ds = generate_dataset(262144, seed=40, categories=20)
     qs = generate_queries(16, seed=41, categories=20)
     eng = ShardedEngine(ds, db_tile=512, query_batch=16, scan_impl="pallas")
-    assert eng.scan_impl == "pallas" and eng.bin_top == 8
+    # kernel_bin_top rounds 8 up to 32 so out_w = 32·4 = 128 (Mosaic block)
+    assert eng.scan_impl == "pallas" and eng.bin_top == 32
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)

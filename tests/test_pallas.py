@@ -66,7 +66,8 @@ def test_pallas_engine_matches_oracle():
     ds = generate_dataset(32768, seed=30, categories=20)
     qs = generate_queries(32, seed=33, categories=20)
     eng = BatchedEngine(ds, db_tile=512, query_batch=32, scan_impl="pallas")
-    assert eng.scan_impl == "pallas" and eng.interpret and eng.bin_top == 8
+    # kernel_bin_top rounds 8 up to 32 so out_w = 32·4 = 128 (Mosaic block)
+    assert eng.scan_impl == "pallas" and eng.interpret and eng.bin_top == 32
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)
@@ -148,6 +149,48 @@ def test_packed_scan_selection_matches_reference():
         np.testing.assert_allclose(
             np.sort(approx), np.sort(exact), rtol=2e-5, atol=1e-3
         )
+
+
+def test_fused_packed_kernel_matches_xla_packed():
+    """The Pallas packed kernel (interpret mode) is column-for-column
+    identical to its XLA expression — same packed keys, same layout."""
+    from hvq_tpu.ops.pallas_scan import (
+        deferred_packed_scan_xla,
+        fused_packed_scan,
+        kernel_bin_top,
+    )
+
+    rng = np.random.default_rng(11)
+    n_pad, B, Dt = 32768, 8, 512
+    R = kernel_bin_top(Dt, n_pad)   # choose_bin_top 8 → rounded up to 32
+    assert R == 32 and (R * (Dt // 128)) % 128 == 0
+    Vp = rng.standard_normal((n_pad, 128)).astype(np.float32)
+    C = rng.integers(0, 4, n_pad).astype(np.float32)
+    T = rng.uniform(-3, 3, n_pad).astype(np.float32)
+    dn = (Vp * Vp).sum(1).astype(np.float32)
+    oid = np.arange(n_pad, dtype=np.int32)
+    qV = rng.standard_normal((B, 128)).astype(np.float32)
+    ac = rng.random(B) < 0.5
+    at = rng.random(B) < 0.5
+    v = rng.integers(0, 4, B).astype(np.float32)
+    l = rng.uniform(-3, 0, B).astype(np.float32)
+    r = rng.uniform(0, 3, B).astype(np.float32)
+    args = [jnp.asarray(x) for x in (Vp, C, T, dn, oid, qV, ac, v, at, l, r)]
+    sn = jnp.int32(4000)
+
+    s_pl, i_pl = fused_packed_scan(
+        *args, sn, db_tile=Dt, bin_top=R, interpret=True
+    )
+    s_x, i_x = deferred_packed_scan_xla(*args, sn, db_tile=Dt, bin_top=R)
+    np.testing.assert_allclose(
+        np.asarray(s_pl), np.asarray(s_x), rtol=1e-6, atol=1e-4
+    )
+    # ids must agree wherever the (quantized) distances are distinct
+    same = np.isclose(np.asarray(s_pl), np.asarray(s_x))
+    np.testing.assert_array_equal(
+        np.asarray(i_pl)[same & np.isfinite(np.asarray(s_pl))],
+        np.asarray(i_x)[same & np.isfinite(np.asarray(s_x))],
+    )
 
 
 def test_packed_engine_matches_oracle():

@@ -84,11 +84,10 @@ def main() -> None:
     with timer.phase("build"):
         engine = get_engine(engine_name)(ds, **engine_kwargs)
 
-    # Warmup: compile all program shapes (single-batch AND grouped dispatch).
-    # dispatch_group == 0 → whole-set-in-one-call mode: the program shape
-    # depends on the full query count, so warm with the full set.
-    dg = getattr(engine, "dispatch_group", 1)
-    warm_n = q if dg == 0 else min(engine.query_batch * (1 + dg), q)
+    # Warmup: compile all program shapes. The dispatch plan (group sizes)
+    # depends on the full query count, so warm with the full set — the
+    # second warm run is then a pure steady-state sanity pass.
+    warm_n = q
     warm = type(qs)(
         qtype=qs.qtype[:warm_n],
         v=qs.v[:warm_n],

@@ -88,7 +88,9 @@ def build(db_tile, kind, mask, bin_top=3, unroll=8):
             raise ValueError(kind)
 
         _, out = jax.lax.scan(step, None, xs, unroll=min(unroll, nt))
-        return out
+        # reduce to scalars ON DEVICE: keeps 30+ enqueued calls from
+        # holding wide outputs live in HBM (RESOURCE_EXHAUSTED otherwise)
+        return sum(jnp.sum(x) for x in jax.tree.leaves(out))
 
     return jax.jit(run)
 
@@ -115,33 +117,33 @@ def main():
 
     qi = [0]
 
-    def marginal(name, f, k_lo=4, k_hi=20):
+    def marginal(name, f, k_lo=2, k_hi=34):
         t0 = time.perf_counter()
         out = f(db, qVs[qi[0]], ac, v, at, l, r, sn)
-        np.asarray(jax.tree.leaves(out)[0][:1])
+        np.asarray(out)
         first = time.perf_counter() - t0
         qi[0] += 1
-        if isinstance(out, tuple):
-            shp = tuple(x.shape for x in out)
-        else:
-            shp = out.shape
-        walls = {}
-        for K in (k_lo, k_hi):
-            if qi[0] + K > len(qVs):
-                qi[0] = 1
-            t0 = time.perf_counter()
-            outs = [
-                f(db, qVs[qi[0] + i], ac, v, at, l, r, sn) for i in range(K)
-            ]
-            np.asarray(
-                jnp.stack([jnp.sum(jax.tree.leaves(o)[0]) for o in outs])
-            )
-            walls[K] = time.perf_counter() - t0
-            qi[0] += K
-        marg = (walls[k_hi] - walls[k_lo]) / (k_hi - k_lo)
+        margs = []
+        for _ in range(2):                     # two independent estimates
+            walls = {}
+            for K in (k_lo, k_hi):
+                if qi[0] + K > len(qVs):
+                    qi[0] = 1
+                t0 = time.perf_counter()
+                outs = [
+                    f(db, qVs[qi[0] + i], ac, v, at, l, r, sn)
+                    for i in range(K)
+                ]
+                np.asarray(jnp.stack(outs))
+                walls[K] = time.perf_counter() - t0
+                qi[0] += K
+            margs.append((walls[k_hi] - walls[k_lo]) / (k_hi - k_lo))
+        marg = min(m for m in margs if m > 0) if any(
+            m > 0 for m in margs) else max(margs)
         print(
             f"{name:34s} {marg * 1e3:7.2f} ms/b {GB / marg:6.1f} GB/s "
-            f"{B / marg:8.0f} QPS  out={shp} (first {first:.0f}s)",
+            f"{B / marg:8.0f} QPS  (ests {[f'{m*1e3:.1f}' for m in margs]},"
+            f" first {first:.0f}s)",
             flush=True,
         )
 
@@ -162,8 +164,7 @@ def main():
                     jax.lax.dot_general(
                         q, db[0], (((1,), (1,)), ((), ())),
                         precision=HI, preferred_element_type=jnp.float32,
-                    ),
-                    axis=1,
+                    )
                 )
             )
             marginal(name, f)

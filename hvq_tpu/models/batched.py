@@ -10,6 +10,12 @@ kernel into a 100-slot array (include/optimized.hpp:54-146), this engine:
 * selects k' candidates per query, then exactly re-refines them in fp32 and
   applies the reference's pad-to-k semantics (models.common.finalize).
 
+``precision`` governs only the SELECTION matmul (which candidates make the
+k' cut); reported distances always come from the direct-fp32 refinement
+(ops.distance.exact_distances), so "high" (3-pass bf16, error ≈ 2⁻²¹ —
+below the packed-key quantization of 2⁻¹⁶) keeps the exactness contract
+while skipping the 6-pass fp32 emulation. "highest" remains available.
+
 Scan implementations (``scan_impl``; measured ladder in CHANGELOG.md):
 
 * ``"xla_packed"`` (default on TPU) — deferred top-R-per-bin selection with
@@ -52,6 +58,30 @@ from hvq_tpu.ops.pallas_scan import (
 from hvq_tpu.utils.formats import Dataset, QuerySet
 
 
+def dispatch_plan(num_batches: int, dispatch_group: int) -> list[int]:
+    """Group sizes for a query stream of ``num_batches`` batches.
+
+    ``dispatch_group == 0`` → the whole stream as one group (small DBs).
+    Otherwise greedy descending powers of two capped at ``dispatch_group``,
+    so any stream length costs O(log) dispatches while only O(log) distinct
+    program shapes ever compile (each dispatch pays a fixed host/relay
+    round trip — the ThreadPool fork-join overhead analogue).
+    """
+    if num_batches <= 0:
+        return []
+    if dispatch_group == 0:
+        return [num_batches]
+    plan = []
+    g = 1 << (dispatch_group.bit_length() - 1)   # largest power of 2 <= cap
+    left = num_batches
+    while left:
+        while g > left:
+            g >>= 1
+        plan.append(g)
+        left -= g
+    return plan
+
+
 def _default_scan_impl() -> str:
     # NOTE: the fused Pallas kernel (scan_impl="pallas") is the intended
     # default on TPU, but this build environment's axon relay hangs on any
@@ -73,7 +103,7 @@ class BatchedEngine:
         query_batch: int | None = None,
         kprime: int = 128,
         dtype=jnp.float32,
-        precision: str = "highest",
+        precision: str = "high",
         topk_strategy: str = "topk",
         scan_impl: str = "auto",
         interpret: bool | None = None,
@@ -92,10 +122,10 @@ class BatchedEngine:
             ds, db_tile=db_tile, dtype=dtype
         )
         if query_batch is None:
-            # Small databases are dispatch-bound, not compute-bound: wider
-            # query batches amortize per-call overhead (measured on the
-            # D=10^4 default set: 256 → dispatch dominates).
-            query_batch = 1024 if self.db.n_pad <= (1 << 17) else 256
+            # Wide batches amortize both per-dispatch latency AND the scan's
+            # per-tile structural cost (measured: per-tile ≈ 21 µs + 0.22 µs
+            # per query ⇒ per-query cost keeps falling through B=1024).
+            query_batch = 1024
         self.query_batch = query_batch
         self.kprime = kprime
         self.precision = resolve_precision(precision)
@@ -120,12 +150,14 @@ class BatchedEngine:
         )
         self.compute_dtype = dtype
         if dispatch_group is None:
-            # Small databases are bound by per-dispatch relay/host latency
-            # (~60 ms/call measured), not compute: run the WHOLE query set
-            # as one device program (dispatch_group=0 sentinel). At scale,
-            # G=8 amortizes the fixed cost to noise while keeping program
-            # shapes reusable across query-set sizes.
-            dispatch_group = 0 if self.db.n_pad <= (1 << 17) else 8
+            # Each dispatch costs a fixed host/relay round trip (measured
+            # ~25-260 ms here) regardless of compute. Small databases run
+            # the WHOLE query set as one device program (dispatch_group=0
+            # sentinel). At scale, batches are greedily grouped into
+            # descending powers of two up to this cap, so a query stream of
+            # any length costs O(log) dispatches while only O(log) program
+            # shapes ever compile.
+            dispatch_group = 0 if self.db.n_pad <= (1 << 17) else 32
         self.dispatch_group = dispatch_group
         self._pos = jnp.arange(self.db.n_pad, dtype=jnp.int32)
         self.tail_V = jnp.asarray(common.tail_block_np(ds.V, t=kprime))
@@ -158,6 +190,7 @@ class BatchedEngine:
                     qV, active_c, vv, active_t, ll, rr, sn,
                     db_tile=Dt, bin_top=self.bin_top,
                     interpret=self.interpret,
+                    precision=self.precision,
                 )
             elif self.scan_impl == "xla_packed":
                 out_s, out_i = deferred_packed_scan_xla(
@@ -230,18 +263,14 @@ class BatchedEngine:
 
         ids_out = np.empty((m_pad, k), dtype=np.uint32)
         dists_out = np.empty((m_pad, k), dtype=np.float32)
-        # dispatch_group == 0: whole query set in one device call
-        G = self.dispatch_group if self.dispatch_group else m_pad // B
-        G = max(1, G)
         db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
         # Enqueue every dispatch without fetching (device results are tiny);
         # host→device uploads of group i+1 then overlap compute of group i,
         # and the relay's per-call latency pipelines instead of serializing.
         pending = []
         s = 0
-        while s < m_pad:
-            nb = (m_pad - s) // B
-            if nb >= G:
+        for G in dispatch_plan(m_pad // B, self.dispatch_group):
+            if G > 1:
                 # grouped dispatch: G batches in one device call
                 e = s + G * B
                 grp = lambda a: jnp.asarray(a[s:e].reshape(G, B, *a.shape[1:]))

@@ -54,7 +54,7 @@ class ShardedEngine:
         query_batch: int = 256,
         kprime: int = 128,
         dtype=jnp.float32,
-        precision: str = "highest",
+        precision: str = "high",
         topk_strategy: str = "topk",
         scan_impl: str = "auto",
         interpret: bool | None = None,
@@ -168,6 +168,7 @@ class ShardedEngine:
                         qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
                         db_tile=db_tile, bin_top=self.bin_top,
                         interpret=self.interpret,
+                        precision=precision,
                     )
                     out_i = out_i + offset  # local positions → global ids
                 elif self.scan_impl == "xla_packed":

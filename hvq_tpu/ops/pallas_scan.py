@@ -374,7 +374,12 @@ def kernel_bin_top(db_tile: int, n_pad: int, kprime: int = 128) -> int | None:
     return R
 
 
-def _make_packed_kernel(bin_top: int):
+def _make_packed_kernel(bin_top: int, precision=jax.lax.Precision.HIGH):
+    # Mosaic's dot lowering supports DEFAULT and HIGHEST only; HIGH (3-pass
+    # bf16) maps up to HIGHEST — the matmul is a small share of kernel time.
+    if precision == jax.lax.Precision.HIGH:
+        precision = jax.lax.Precision.HIGHEST
+
     def _kernel(
         sn_ref,                       # SMEM scalar-prefetch: scan limit
         V_ref,                        # (Dt, 128) database tile
@@ -389,11 +394,12 @@ def _make_packed_kernel(bin_top: int):
         B = qV_ref.shape[0]
         bins = Dt // BIN
 
-        # MXU: dist = ‖q‖² + ‖d‖² − 2·q·d  (fp32-faithful, ≥ 0)
+        # MXU: dist = ‖q‖² + ‖d‖² − 2·q·d  (selection-grade precision; the
+        # exact fp32 refinement outside restores the distance contract)
         qd = jax.lax.dot_general(
             qV_ref[:], V_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32,
         )
         dist = jnp.maximum(
@@ -430,13 +436,15 @@ def _make_packed_kernel(bin_top: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("db_tile", "bin_top", "interpret")
+    jax.jit,
+    static_argnames=("db_tile", "bin_top", "interpret", "precision"),
 )
 def fused_packed_scan(
     Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
     db_tile: int = 8192,
     bin_top: int = 2,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGH,
 ):
     """Fused Pallas kernel with packed distance+lane keys — the intended
     TPU default. Same output contract as :func:`deferred_packed_scan_xla`:
@@ -492,7 +500,7 @@ def fused_packed_scan(
     )
 
     (packed_out,) = pl.pallas_call(
-        _make_packed_kernel(bin_top),
+        _make_packed_kernel(bin_top, precision),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, nt * out_w), jnp.int32)],
         interpret=interpret,

@@ -179,3 +179,20 @@ def test_sharded_sample_proportion(small_ds, small_qs):
     oids, odists = search_oracle(small_ds, small_qs, sample_proportion=0.53)
     ids, dists = eng.search(small_qs, sample_proportion=0.53)
     assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+
+
+def test_dispatch_plan():
+    """Greedy power-of-two grouping: O(log) dispatches, O(log) shapes."""
+    from hvq_tpu.models.batched import dispatch_plan
+
+    assert dispatch_plan(10, 32) == [8, 2]
+    assert dispatch_plan(40, 32) == [32, 8]
+    assert dispatch_plan(7, 32) == [4, 2, 1]
+    assert dispatch_plan(10, 0) == [10]      # whole-set single dispatch
+    assert dispatch_plan(1, 8) == [1]
+    assert dispatch_plan(0, 8) == []
+    for nb in (1, 3, 10, 100, 1023):
+        plan = dispatch_plan(nb, 32)
+        assert sum(plan) == nb
+        assert all(g & (g - 1) == 0 for g in plan)  # powers of two
+        assert plan == sorted(plan, reverse=True)

@@ -1,22 +1,33 @@
-"""Partitioned exact engine — predicate-pruned scans over sorted views.
+"""Partitioned exact engine — per-query routed scans over sorted views.
 
 The reference scans ALL sn rows for every query and discards predicate
 failures one branch at a time (optimized.hpp:84-117). This engine instead
-resolves each query's predicate to a contiguous row range of a sorted view by
-host-side binary search (index.partition), takes the union of database tiles
-those ranges touch for a whole query batch, and scans only those tiles on
-device — the filtered query types do work proportional to their selectivity,
-not to the database size, while staying exact.
+resolves each query's predicate to a contiguous row range of a sorted view
+by host-side binary search (index.partition) and routes by range width:
 
-Query routing (host):
-  type 0          → cat_view, full range (dense scan, no pruning possible)
+  narrow range  → ROUTED path: a ``lax.scan`` over the queries, each step
+                  ``dynamic_slice``-ing exactly its own contiguous candidate
+                  span from the view (plus bucket padding), one GEMV, one
+                  small top-k. Work is proportional to each query's
+                  selectivity — a type-1 query over 1000 categories touches
+                  ~0.1 % of the database instead of 100 %.
+  wide range    → batched deferred full scan (the dense-MXU path); pruning
+                  cannot beat a batched dense scan once most rows qualify.
+
+A per-BATCH tile union (the earlier design) is wrong for batched workloads:
+256 random categories union to more tiles than the database has — measured
+656 QPS vs the dense engine's ~8000. Per-query slices sidestep the union.
+
+Query → view mapping (index.partition.query_ranges):
+  type 0          → cat_view, full range          (always the full path)
   type 1 (C==v)   → cat_view, the category partition
-  type 3          → cat_view, partition narrowed by T binary search
+  type 3          → cat_view, partition ∩ T-range (binary search, exact)
   type 2 (l≤T≤r)  → time_view, one global T range
 
-Batches are grouped per view; tile lists are padded to power-of-two buckets
-so jit specializations stay bounded. Results carry original ids throughout
-(sample-proportion and padding semantics identical to the other engines).
+Span buckets are powers-of-two-ish caps so jit specializations stay
+bounded; results carry original ids throughout (sample-proportion tests
+ORIGINAL ids — reference optimized.hpp:85 — and padding semantics are
+identical to the other engines).
 """
 
 from __future__ import annotations
@@ -27,18 +38,14 @@ import numpy as np
 
 from hvq_tpu import constants as _c
 from hvq_tpu.models import common
-from hvq_tpu.index.partition import (
-    PartitionedIndex,
-    pad_tile_list,
-    tiles_for_ranges,
-)
+from hvq_tpu.index.partition import PartitionedIndex
 from hvq_tpu.ops import masks as mask_ops
 from hvq_tpu.ops.distance import pad_vectors_np, resolve_precision
 from hvq_tpu.utils.formats import Dataset, QuerySet
 
 
 class PartitionedEngine:
-    """Exact engine with category/timestamp tile pruning."""
+    """Exact engine with per-query category/timestamp range routing."""
 
     name = "partitioned"
 
@@ -46,12 +53,15 @@ class PartitionedEngine:
         self,
         ds: Dataset,
         db_tile: int = 8192,
-        query_batch: int = 256,
+        query_batch: int = 1024,
         kprime: int = 128,
         dtype=jnp.float32,
-        precision: str = "highest",
+        precision: str = "high",
         topk_strategy: str = "topk",
         index: PartitionedIndex | None = None,
+        route_buckets: tuple[int, ...] = (4096, 32768, 262144),
+        routed_batch: int | None = None,
+        dispatch_group: int = 8,
     ):
         self.index = index or PartitionedIndex.build(
             ds, db_tile=db_tile, dtype=dtype
@@ -62,48 +72,83 @@ class PartitionedEngine:
         self.precision = resolve_precision(precision)
         self.topk_strategy = topk_strategy
         self.compute_dtype = dtype
-        self._jit = jax.jit(self._search_pruned, static_argnames=("k",))
-        # Wide-range batches (type 0 and broad ranges) skip pruning and use
-        # the deferred-bin full scan instead — ~7× cheaper per tile than the
-        # streaming top-k merge. Bin collisions stay random because vectors
+        n_pad = self.index.cat_view.n_pad
+        # Bucketed span caps (≥ kprime so the routed top-k is well-formed,
+        # ≤ n_pad so the dynamic slice fits), ascending, deduplicated.
+        caps = sorted({min(max(b, kprime), n_pad) for b in route_buckets})
+        self.route_buckets = tuple(c for c in caps if c >= kprime)
+        # Wide ranges use the deferred packed full scan — same algorithm as
+        # BatchedEngine's default. Bin collisions stay random because vectors
         # are independent of the (C, T) sort order.
         from hvq_tpu.ops.pallas_scan import choose_bin_top
 
-        self.bin_top = choose_bin_top(self.index.cat_view.n_pad, kprime)
+        self.bin_top = choose_bin_top(n_pad, kprime)
+        # Routed scans cost ~µs per query: pack many into one dispatch so
+        # the fixed host/relay round trip amortizes.
+        self.routed_batch = routed_batch or 4 * query_batch
+        self.dispatch_group = dispatch_group
         self._jit_full = jax.jit(self._search_full, static_argnames=("k",))
+        self._jit_full_group = jax.jit(
+            self._search_full_group, static_argnames=("k",)
+        )
+        self._jit_routed = jax.jit(
+            self._search_routed, static_argnames=("k", "span_cap")
+        )
 
-    # --- jitted core -----------------------------------------------------
-    def _search_pruned(
+    # --- jitted cores ------------------------------------------------------
+    def _search_routed(
         self,
         Vp_view, C_view, T_view, dn_view, oid_view,  # flat view arrays
         tail_V,
-        tile_index,              # (nt_sel,) int32, -1 = skip
+        starts, ends,            # (B,) int32 candidate spans per query
         qV, qtype, v, l, r,
         sn, n,
         k: int,
+        span_cap: int,
     ):
+        """Per-query contiguous-slice scan: work ∝ each query's selectivity.
+
+        Every row of [start, end) satisfies the query's predicate by
+        construction (the index range is exact), so the in-slice mask only
+        re-checks the range bounds, the sample-proportion limit over
+        ORIGINAL ids, and (cheaply, for robustness) the predicate itself.
+        """
         active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
             qtype, v, l, r
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
-        Dt = self.index.cat_view.db_tile
-        nt = Vp_view.shape[0] // Dt
-        scores, pos = common.scan_database(
-            (
-                Vp_view.reshape(nt, Dt, Vp_view.shape[-1]),
-                C_view.reshape(nt, Dt),
-                T_view.reshape(nt, Dt),
-                dn_view.reshape(nt, Dt),
-            ),
-            qb,
-            sn,
-            kprime=self.kprime,
-            db_tile=self.index.cat_view.db_tile,
-            precision=self.precision,
-            strategy=self.topk_strategy,
-            compute_dtype=self.compute_dtype,
-            oid_tiles=oid_view.reshape(nt, Dt),
-            tile_index=tile_index,
+        n_pad, d = Vp_view.shape
+        kp = min(self.kprime, span_cap)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (span_cap,), 0)
+        precision = self.precision
+
+        def step(_, xs):
+            start, end, qv, ac_i, v_i, at_i, l_i, r_i = xs
+            start_c = jnp.clip(start, 0, n_pad - span_cap)
+            rows = jax.lax.dynamic_slice(Vp_view, (start_c, 0), (span_cap, d))
+            Cr = jax.lax.dynamic_slice(C_view, (start_c,), (span_cap,))
+            Tr = jax.lax.dynamic_slice(T_view, (start_c,), (span_cap,))
+            dnr = jax.lax.dynamic_slice(dn_view, (start_c,), (span_cap,))
+            oidr = jax.lax.dynamic_slice(oid_view, (start_c,), (span_cap,))
+            qd = jax.lax.dot_general(
+                rows.astype(jnp.float32), qv,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            scores = dnr - 2.0 * qd                      # (span_cap,)
+            pos = start_c + lane
+            ok = (pos >= start) & (pos < end) & (oidr < sn)
+            ok &= jnp.logical_or(~ac_i, Cr == v_i)
+            ok &= jnp.logical_or(~at_i, (Tr >= l_i) & (Tr <= r_i))
+            scores = jnp.where(ok, scores, jnp.inf)
+            top_neg, idx = jax.lax.top_k(-scores, kp)
+            return None, (-top_neg, (pos[idx]).astype(jnp.int32))
+
+        _, (scores, pos) = jax.lax.scan(
+            step,
+            None,
+            (starts, ends, qV, active_c, vv, active_t, ll, rr),
         )
         return common.finalize_view(
             scores, pos, Vp_view, oid_view, tail_V, qb, n, k
@@ -117,22 +162,20 @@ class PartitionedEngine:
         sn, n,
         k: int,
     ):
-        from hvq_tpu.ops.pallas_scan import deferred_bin_scan_xla
+        from hvq_tpu.ops.pallas_scan import deferred_packed_scan_xla
 
         active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
             qtype, v, l, r
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
-        # The mask tests original ids (sample-proportion is over file order);
-        # the reported payload is the VIEW POSITION so refinement gathers
-        # stay local to the view.
-        pos = jnp.arange(Vp_view.shape[0], dtype=jnp.int32)
-        out_s, out_i = deferred_bin_scan_xla(
+        # Packed-key deferred scan (the dense engine's default): the sn mask
+        # tests ORIGINAL ids via oid_view; the returned payload is the VIEW
+        # POSITION so refinement gathers stay local to the view.
+        out_s, out_i = deferred_packed_scan_xla(
             Vp_view, C_view, T_view, dn_view, oid_view,
             qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
             db_tile=self.index.cat_view.db_tile, bin_top=self.bin_top,
             precision=self.precision,
-            payload=pos,
         )
         kp = min(self.kprime, out_s.shape[1])
         top_neg, idx = jax.lax.top_k(-out_s, kp)
@@ -141,6 +184,25 @@ class PartitionedEngine:
         return common.finalize_view(
             scores, cand_pos, Vp_view, oid_view, tail_V, qb, n, k
         )
+
+    def _search_full_group(
+        self,
+        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        qVg, qtypeg, vg, lg, rg,          # (G, B, ...) stacked batches
+        sn, n,
+        k: int,
+    ):
+        """G full-scan batches in ONE dispatch (fixed-cost amortization)."""
+
+        def step(_, xs):
+            qV, qtype, v, l, r = xs
+            return None, self._search_full(
+                Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+                qV, qtype, v, l, r, sn, n, k,
+            )
+
+        _, out = jax.lax.scan(step, None, (qVg, qtypeg, vg, lg, rg))
+        return out
 
     # --- host driver -----------------------------------------------------
     def search(
@@ -153,41 +215,96 @@ class PartitionedEngine:
         n = idx.cat_view.n
         sn_val = int(sample_proportion * n)
         view_id, start, end = idx.query_ranges(qs.qtype, qs.v, qs.l, qs.r)
+        span = end - start
 
         ids_out = np.empty((qs.m, k), dtype=np.uint32)
         dists_out = np.empty((qs.m, k), dtype=np.float32)
 
-        # Route per query: ranges wide enough for a sound bin-reduce use the
-        # fast deferred full scan; narrow ranges use pruned tile scans. A
-        # narrow range on a sorted view concentrates candidates in few bins,
-        # where a bin reduce would lose neighbors — hence per-query gating.
-        from hvq_tpu.ops.pallas_scan import choose_bin_top
+        # Per-query bucket: smallest cap covering the span; -1 = full scan.
+        # Full-range queries (type 0 and degenerate single-partition cases)
+        # always take the batched dense path.
+        bucket_of = np.full(qs.m, -1, np.int64)
+        for bi in range(len(self.route_buckets) - 1, -1, -1):
+            cap = self.route_buckets[bi]
+            bucket_of[(span <= cap) & (span < n)] = bi
+        if self.bin_top is None:
+            # no sound bin depth for the deferred full scan on tiny DBs:
+            # route everything (bucket caps are clipped to n_pad already)
+            bucket_of[bucket_of < 0] = len(self.route_buckets) - 1
+        # Full scans mask predicates anyway — the view only matters for
+        # pruning. Funnel ALL wide queries through cat_view so they share
+        # one grouped dispatch stream instead of splitting per view.
+        view_id = np.where(bucket_of < 0, 0, view_id)
 
-        span = end - start
-        full_ok = np.zeros(qs.m, dtype=bool)
-        if self.bin_top is not None:
-            for i in range(qs.m):
-                r_bt = choose_bin_top(int(span[i]), self.kprime)
-                full_ok[i] = r_bt is not None and r_bt <= self.bin_top
+        # Enqueue every dispatch, fetch at the end (overlaps uploads with
+        # device compute; see BatchedEngine.search). Full-scan batches are
+        # additionally grouped into power-of-two multi-batch dispatches.
+        from hvq_tpu.models.batched import dispatch_plan
 
+        scalars = (jnp.int32(sn_val), jnp.int32(n))
+        pending = []
         for vid, view in ((0, idx.cat_view), (1, idx.time_view)):
-            for full in (True, False):
-                q_idx = np.nonzero((view_id == vid) & (full_ok == full))[0]
-                if q_idx.size == 0:
-                    continue
-                for s in range(0, q_idx.size, self.query_batch):
-                    batch_idx = q_idx[s : s + self.query_batch]
-                    ids_b, d_b = self._run_batch(
-                        view, batch_idx, qs, start, end, sn_val, n, k,
-                        full=full,
+            varg = (view.Vp, view.C, view.T, view.d_norms, view.oid,
+                    self.tail_V)
+            # FULL route: batched dense packed scan, grouped dispatches
+            q_idx = np.nonzero((view_id == vid) & (bucket_of < 0))[0]
+            if q_idx.size:
+                B = self.query_batch
+                nb = -(-q_idx.size // B)
+                s = 0
+                for G in dispatch_plan(nb, self.dispatch_group):
+                    batch_list = [
+                        q_idx[(s + g) * B : (s + g + 1) * B]
+                        for g in range(G)
+                    ]
+                    if G > 1:
+                        stk = [self._query_args(b, qs) for b in batch_list]
+                        args = tuple(
+                            jnp.asarray(np.stack([a[i] for a in stk]))
+                            for i in range(5)
+                        )
+                        out = self._jit_full_group(
+                            *varg, *args, *scalars, k=k
+                        )
+                        pending.append((np.concatenate(batch_list), out, B))
+                    else:
+                        a = self._query_args(batch_list[0], qs)
+                        out = self._jit_full(
+                            *varg, *map(jnp.asarray, a), *scalars, k=k
+                        )
+                        pending.append((batch_list[0], out, None))
+                    s += G
+            # ROUTED buckets: per-query contiguous slices, wide batches
+            for bi, cap in enumerate(self.route_buckets):
+                q_idx = np.nonzero((view_id == vid) & (bucket_of == bi))[0]
+                for s in range(0, q_idx.size, self.routed_batch):
+                    batch_idx = q_idx[s : s + self.routed_batch]
+                    a = self._query_args(batch_idx, qs, self.routed_batch)
+                    Bq = self.routed_batch
+                    starts = np.zeros(Bq, np.int32)
+                    ends = np.zeros(Bq, np.int32)     # pad slots: empty span
+                    starts[: batch_idx.size] = start[batch_idx]
+                    ends[: batch_idx.size] = end[batch_idx]
+                    out = self._jit_routed(
+                        *varg,
+                        jnp.asarray(starts), jnp.asarray(ends),
+                        *map(jnp.asarray, a), *scalars,
+                        k=k, span_cap=cap,
                     )
-                    ids_out[batch_idx] = ids_b[: batch_idx.size]
-                    dists_out[batch_idx] = d_b[: batch_idx.size]
+                    pending.append((batch_idx, out, None))
+        for batch_idx, (ids_b, d_b), B_g in pending:
+            ids_np = np.asarray(ids_b)
+            d_np = np.asarray(d_b)
+            if B_g is not None:               # grouped: (G, B, k) → flat
+                ids_np = ids_np.reshape(-1, k)
+                d_np = d_np.reshape(-1, k)
+            ids_out[batch_idx] = ids_np[: batch_idx.size]
+            dists_out[batch_idx] = d_np[: batch_idx.size]
         return ids_out, dists_out
 
-    def _run_batch(self, view, batch_idx, qs, start, end, sn_val, n, k,
-                   full: bool = False):
-        B = self.query_batch
+    def _query_args(self, batch_idx, qs, B: int | None = None):
+        """Padded (B, ...) host query arrays for one batch."""
+        B = B or self.query_batch
         bsz = batch_idx.size
 
         def pad(a, fill=0.0):
@@ -197,29 +314,10 @@ class PartitionedEngine:
 
         qV = np.zeros((B, _c.PADDED_DIM), np.float32)
         qV[:bsz] = pad_vectors_np(qs.V[batch_idx].astype(np.float32))
-        qargs = (
-            jnp.asarray(qV),
-            jnp.asarray(pad(qs.qtype)),
-            jnp.asarray(pad(qs.v, -1.0)),
-            jnp.asarray(pad(qs.l, -1.0)),
-            jnp.asarray(pad(qs.r, -1.0)),
+        return (
+            qV,
+            pad(qs.qtype),
+            pad(qs.v, -1.0),
+            pad(qs.l, -1.0),
+            pad(qs.r, -1.0),
         )
-        scalars = (jnp.int32(sn_val), jnp.int32(n))
-
-        if full:
-            ids_b, d_b = self._jit_full(
-                view.Vp, view.C, view.T, view.d_norms, view.oid,
-                self.tail_V, *qargs, *scalars, k=k,
-            )
-        else:
-            tiles = tiles_for_ranges(
-                start[batch_idx], end[batch_idx], view.db_tile,
-                view.num_tiles,
-            )
-            ids_b, d_b = self._jit(
-                view.Vp, view.C, view.T, view.d_norms, view.oid,
-                self.tail_V,
-                jnp.asarray(pad_tile_list(tiles)),
-                *qargs, *scalars, k=k,
-            )
-        return np.asarray(ids_b).astype(np.uint32), np.asarray(d_b)

@@ -103,3 +103,40 @@ def test_partitioned_empty_predicate():
     assert_results_match(ds, qs, ids, dists, oids, odists)
     # all results are tail pads n-1..n-100 in distance order
     assert set(ids[0]) == set(range(500, 600))
+
+
+def test_routed_bucket_boundaries():
+    """Spans right at the bucket caps route correctly and stay exact."""
+    ds = generate_dataset(20000, seed=70, categories=5)   # ~4000 rows/cat
+    eng = PartitionedEngine(ds, db_tile=1024, query_batch=64,
+                            route_buckets=(4096, 8192), routed_batch=64)
+    # categories of ~4000 rows straddle the first bucket cap
+    qs = generate_queries(48, seed=71, categories=5, types=(1, 3))
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_routed_narrow_type2_time_view():
+    """Very narrow T ranges route type-2 queries through the time view."""
+    from hvq_tpu.utils.formats import QuerySet
+
+    ds = generate_dataset(30000, seed=72, categories=8)
+    rng = np.random.default_rng(73)
+    ls = rng.uniform(-2, 2, 16).astype(np.float32)
+    qs = QuerySet(
+        qtype=np.full(16, 2, np.int32),
+        v=np.full(16, -1.0, np.float32),
+        l=ls,
+        r=(ls + 0.01).astype(np.float32),    # ~0.2% selectivity
+        V=rng.uniform(-6, 6, (16, 100)).astype(np.float32),
+    )
+    eng = PartitionedEngine(ds, db_tile=1024, query_batch=16,
+                            route_buckets=(2048,), routed_batch=16)
+    view_id, start, end = eng.index.query_ranges(qs.qtype, qs.v, qs.l, qs.r)
+    assert (view_id == 1).all() and ((end - start) <= 2048).all()
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0

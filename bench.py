@@ -83,6 +83,12 @@ def main() -> None:
         engine_kwargs.setdefault("precision", "default")
     with timer.phase("build"):
         engine = get_engine(engine_name)(ds, **engine_kwargs)
+    if os.environ.get("HVQ_BENCH_RESILIENT", "1") != "0":
+        # the tunneled runtime throws transient INTERNAL errors on long
+        # compiles; bounded retries absorb them (utils.resilience)
+        from hvq_tpu.utils.resilience import ResilientEngine
+
+        engine = ResilientEngine(engine)
 
     # Warmup: compile all program shapes. The dispatch plan (group sizes)
     # depends on the full query count, so warm with the full set — the

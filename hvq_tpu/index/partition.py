@@ -95,16 +95,47 @@ def _build_view(ds: Dataset, perm: np.ndarray, db_tile: int, dtype) -> SortedVie
 @dataclasses.dataclass
 class PartitionedIndex:
     cat_view: SortedView
-    time_view: SortedView
+    T_sorted: np.ndarray                    # (n,) globally sorted T keys
+    _time_view: SortedView | None = None
+    _ds: Dataset | None = None              # lazy-build source
+    _db_tile: int = 8192
+    _dtype: object = None
+
+    @property
+    def time_view(self) -> SortedView:
+        """The T-sorted device view, built on first use.
+
+        Only *narrow* type-2 queries ever touch it (wide ranges reroute to
+        the cat view's dense scan), so eager construction would cost a
+        second full database copy in HBM + upload for a path most workloads
+        never take. Range WIDTHS are resolved from the host-side
+        ``T_sorted`` keys without it.
+        """
+        if self._time_view is None:
+            if self._ds is None:
+                raise ValueError(
+                    "time view not materialized and lazy source unavailable"
+                )
+            perm = np.argsort(self._ds.T, kind="stable").astype(np.int64)
+            self._time_view = _build_view(
+                self._ds, perm, self._db_tile, self._dtype or jnp.float32
+            )
+        return self._time_view
 
     @classmethod
-    def build(cls, ds: Dataset, db_tile: int = 8192, dtype=jnp.float32):
+    def build(cls, ds: Dataset, db_tile: int = 8192, dtype=jnp.float32,
+              lazy_time: bool = True):
         cat_perm = np.lexsort((ds.T, ds.C)).astype(np.int64)  # C major, T minor
-        time_perm = np.argsort(ds.T, kind="stable").astype(np.int64)
-        return cls(
+        out = cls(
             cat_view=_build_view(ds, cat_perm, db_tile, dtype),
-            time_view=_build_view(ds, time_perm, db_tile, dtype),
+            T_sorted=np.sort(ds.T).astype(np.float32),
+            _ds=ds,
+            _db_tile=db_tile,
+            _dtype=dtype,
         )
+        if not lazy_time:
+            _ = out.time_view
+        return out
 
     # ---- host-side range resolution (binary search on sort keys) --------
     def query_ranges(
@@ -124,7 +155,7 @@ class PartitionedIndex:
         start = np.zeros(m, np.int64)
         end = np.full(m, self.cat_view.n, np.int64)
 
-        cv, tv = self.cat_view, self.time_view
+        cv = self.cat_view
         is1 = qtype == 1
         is2 = qtype == 2
         is3 = qtype == 3
@@ -142,8 +173,9 @@ class PartitionedIndex:
                 start[i] = s + np.searchsorted(seg, l[i], side="left")
                 end[i] = s + np.searchsorted(seg, r[i], side="right")
         if is2.any():
-            start[is2] = np.searchsorted(tv.T_key, l[is2], side="left")
-            end[is2] = np.searchsorted(tv.T_key, r[is2], side="right")
+            # resolved from host keys alone — does NOT materialize time_view
+            start[is2] = np.searchsorted(self.T_sorted, l[is2], side="left")
+            end[is2] = np.searchsorted(self.T_sorted, r[is2], side="right")
         return view, start, end
 
 

@@ -85,8 +85,11 @@ def load_index(path: str | os.PathLike):
         raise ValueError(f"unsupported index checkpoint version {version}")
     kind = str(z["__kind__"])
     if kind == "partitioned":
+        tv = _load_view(z, "time")
         return PartitionedIndex(
-            cat_view=_load_view(z, "cat"), time_view=_load_view(z, "time")
+            cat_view=_load_view(z, "cat"),
+            T_sorted=np.asarray(z["time_T_key"], np.float32),
+            _time_view=tv,
         )
     if kind == "ivf":
         n, cap, scan_tile = (int(x) for x in z["meta"])

@@ -76,13 +76,17 @@ class PartitionedEngine:
         # Bucketed span caps (≥ kprime so the routed top-k is well-formed,
         # ≤ n_pad so the dynamic slice fits), ascending, deduplicated.
         caps = sorted({min(max(b, kprime), n_pad) for b in route_buckets})
-        self.route_buckets = tuple(c for c in caps if c >= kprime)
         # Wide ranges use the deferred packed full scan — same algorithm as
         # BatchedEngine's default. Bin collisions stay random because vectors
         # are independent of the (C, T) sort order.
         from hvq_tpu.ops.pallas_scan import choose_bin_top
 
         self.bin_top = choose_bin_top(n_pad, kprime)
+        if self.bin_top is None and (not caps or caps[-1] < n_pad):
+            # tiny DB: the deferred full scan has no sound bin depth, so
+            # EVERY query routes — there must be a bucket covering any span
+            caps.append(n_pad)
+        self.route_buckets = tuple(c for c in caps if c >= kprime)
         # Routed scans cost ~µs per query: pack many into one dispatch so
         # the fixed host/relay round trip amortizes.
         self.routed_batch = routed_batch or 4 * query_batch
@@ -229,8 +233,16 @@ class PartitionedEngine:
             bucket_of[(span <= cap) & (span < n)] = bi
         if self.bin_top is None:
             # no sound bin depth for the deferred full scan on tiny DBs:
-            # route everything (bucket caps are clipped to n_pad already)
-            bucket_of[bucket_of < 0] = len(self.route_buckets) - 1
+            # route everything through the cat view's full-coverage bucket
+            # with a full range — the routed kernel's predicate mask does
+            # the filtering (ranges are view-specific, so rerouting a
+            # type-2 query off the time view must widen its range).
+            forced = bucket_of < 0
+            if forced.any():
+                view_id = np.where(forced, 0, view_id)
+                start = np.where(forced, 0, start)
+                end = np.where(forced, n, end)
+                bucket_of[forced] = len(self.route_buckets) - 1
         # Full scans mask predicates anyway — the view only matters for
         # pruning. Funnel ALL wide queries through cat_view so they share
         # one grouped dispatch stream instead of splitting per view.
@@ -243,7 +255,12 @@ class PartitionedEngine:
 
         scalars = (jnp.int32(sn_val), jnp.int32(n))
         pending = []
-        for vid, view in ((0, idx.cat_view), (1, idx.time_view)):
+        for vid in (0, 1):
+            if not np.any(view_id == vid):
+                continue
+            # idx.time_view is LAZY (a second full HBM copy): only narrow
+            # type-2 queries ever reach vid == 1.
+            view = idx.cat_view if vid == 0 else idx.time_view
             varg = (view.Vp, view.C, view.T, view.d_norms, view.oid,
                     self.tail_V)
             # FULL route: batched dense packed scan, grouped dispatches

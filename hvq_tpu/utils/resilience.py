@@ -45,6 +45,10 @@ class ResilientEngine:
         self.backoff_s = backoff_s
         self.min_split = min_split
 
+    def __getattr__(self, item):
+        # transparent attribute proxy (query_batch, dispatch_group, ...)
+        return getattr(self.engine, item)
+
     def search(self, qs: QuerySet, k: int = _c.K_DEFAULT,
                sample_proportion: float = 1.0):
         return self._search_range(qs, k, sample_proportion)

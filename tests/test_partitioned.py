@@ -140,3 +140,41 @@ def test_routed_narrow_type2_time_view():
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_time_view_is_lazy():
+    """No narrow type-2 queries → the T-sorted device copy never builds."""
+    ds = generate_dataset(5000, seed=80, categories=10)
+    eng = PartitionedEngine(ds, db_tile=512, query_batch=32,
+                            route_buckets=(256,), routed_batch=32)
+    assert eng.index._time_view is None
+    qs = generate_queries(16, seed=81, categories=10, types=(0, 1, 3))
+    eng.search(qs)                       # cat-view routes only
+    assert eng.index._time_view is None
+    # wide type-2 queries reroute to the cat view's dense scan: still lazy
+    from hvq_tpu.utils.formats import QuerySet
+
+    rng = np.random.default_rng(82)
+    qs2 = QuerySet(
+        qtype=np.full(8, 2, np.int32),
+        v=np.full(8, -1.0, np.float32),
+        l=np.full(8, -3.0, np.float32),
+        r=np.full(8, 4.0, np.float32),       # full-T range: always wide
+        V=rng.uniform(-6, 6, (8, 100)).astype(np.float32),
+    )
+    eng.search(qs2)
+    assert eng.index._time_view is None
+    # a genuinely narrow type-2 range DOES materialize it
+    qs3 = QuerySet(
+        qtype=np.array([2], np.int32),
+        v=np.array([-1.0], np.float32),
+        l=np.array([0.0], np.float32),
+        r=np.array([0.001], np.float32),
+        V=rng.uniform(-6, 6, (1, 100)).astype(np.float32),
+    )
+    from hvq_tpu.models.oracle import search_oracle
+
+    ids, dists = eng.search(qs3)
+    assert eng.index._time_view is not None
+    oids, odists = search_oracle(ds, qs3)
+    assert_results_match(ds, qs3, ids, dists, oids, odists)

@@ -86,9 +86,20 @@ def _cmd_run(args) -> int:
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
+    # Timed region = ids only, mirroring the reference: vec_query returns
+    # ids (optimized_impl.h:392-437); the .dist file is recomputed from ids
+    # after the counters stop (src/test.cpp:95-110, io.h:50-78).
+    import inspect
+
+    search_kw = (
+        {"return_dists": False}
+        if "return_dists"
+        in inspect.signature(getattr(engine, "engine", engine).search).parameters
+        else {}
+    )
     t0 = time.perf_counter()
-    ids, dists = engine.search(
-        qs, k=args.k, sample_proportion=args.sample_proportion
+    ids, _ = engine.search(
+        qs, k=args.k, sample_proportion=args.sample_proportion, **search_kw
     )
     wall = time.perf_counter() - t0
     if args.profile:

@@ -16,12 +16,26 @@ k' cut); reported distances always come from the direct-fp32 refinement
 below the packed-key quantization of 2⁻¹⁶) keeps the exactness contract
 while skipping the 6-pass fp32 emulation. "highest" remains available.
 
+Exactness certificate (``certified=True``, the default): the deferred bin
+scan keeps the best R candidates per 128-lane bin, which loses a true
+neighbor only if R+1 of the top-k' share one bin. Rather than relying on
+the Poisson tail bound alone, every batch carries a device-computed
+certificate: with t = the k-th refined distance, a bin can conceal a
+better-than-t row only if its R-th (worst) kept quantized distance is
+below t plus a rigorous fp-slack (matmul-accumulation + key-quantization
+error bounds, see ``_CERT_*`` below); the k'-cut is checked the same way.
+Suspect flags ride back to the host with the ids (1 byte/query), and
+suspect batches — expected only on adversarial bin-concentrated layouts —
+are re-run through the certified-exact ``lax.top_k`` streaming path (one
+lazily-compiled program). This makes the fast packed path EXACT at every
+database size, replacing the old small-DB fallback to the slow path.
+
 Scan implementations (``scan_impl``; measured ladder in CHANGELOG.md):
 
 * ``"xla_packed"`` (default on TPU) — deferred top-R-per-bin selection with
   packed distance+lane int32 keys: one min-reduce per bin round, candidate
   positions recovered arithmetically, one ``lax.top_k`` per batch. 14× the
-  streaming-top-k path at 10⁶ rows (8221 QPS medium set).
+  streaming-top-k path at 10⁶ rows; ~8× the exact path at 10⁴ rows.
 * ``"pallas"`` — the fused Pallas kernel (ops.pallas_scan): same algorithm
   with the (B, Dt) score tile living only in VMEM. The intended default on
   standard TPU runtimes; this build environment's axon relay hangs on
@@ -29,9 +43,17 @@ Scan implementations (``scan_impl``; measured ladder in CHANGELOG.md):
 * ``"xla_deferred"`` — the unpacked deferred variant (argmin + gather per
   bin round); kept for comparison.
 * ``"xla"`` — ``lax.scan`` with an exact per-tile ``lax.top_k`` merge
-  (ops.topk): the certified-exact path (no bin reduce), the portable
-  fallback, and the automatic choice when the database is too small for a
-  sound bin depth (ops.pallas_scan.choose_bin_top).
+  (ops.topk): the certified-exact path with no bin reduce at all — the
+  portable fallback and the certificate's rerun target.
+
+Host↔device traffic is engineered for the measured relay costs (each
+transfer pays ~40-150 ms fixed + ~35-70 MB/s): queries ship as ONE packed
+(B, 132) array ([vector₁₂₈ | type | v | l | r], one upload instead of
+five), and ``search(return_dists=False)`` fetches only the ids — the
+reference's ``vec_query`` contract is also ids-only, with the .dist file
+recomputed host-side afterwards (src/test.cpp:95-110, io.h:50-78). When
+ids fit 16 bits (n ≤ 65535) two ids pack per int32 lane, halving the
+result fetch.
 
 Everything under ``jit`` is shape-static: query count is padded to the batch
 size, database rows to the tile size; ``sn`` (sample proportion) and ``n``
@@ -49,13 +71,32 @@ from hvq_tpu.models import common
 from hvq_tpu.models.device_db import DeviceDB
 from hvq_tpu.ops.distance import resolve_precision
 from hvq_tpu.ops.pallas_scan import (
+    BIN,
     choose_bin_top,
     deferred_bin_scan_xla,
     deferred_packed_scan_xla,
     fused_packed_scan,
     kernel_bin_top,
+    last_round_dists,
 )
 from hvq_tpu.utils.formats import Dataset, QuerySet
+
+# Packed query-block layout: [vector (VEC_DIM) | qtype | v | l | r] — the
+# reference's own 104-float query record, reordered (write_query.c:28-58).
+# Vectors are zero-padded to PADDED_DIM on DEVICE: uploading the raw 104
+# floats instead of padded-128 + 4 separate arrays cuts the relay upload
+# ~25% and five round trips to one.
+QPACK_W = _c.VEC_DIM + 4
+
+# Exactness-certificate slack terms (see class docstring). The selection
+# distance dn + ‖q‖² − 2·q·d is computed with ≥3-pass-bf16 matmuls
+# (error ≲ 2⁻²¹ per product) and fp32 adds over ≤128 lanes, so its absolute
+# error is bounded by ~2⁻²¹·(‖q‖²+max‖d‖²) with generous margin; the packed
+# key truncates 7 mantissa bits (2⁻¹⁶ relative, rounding DOWN — quantized ≤
+# true); the refined threshold t carries ≤128·2⁻²⁴ relative error itself.
+_CERT_REL_MM = 4e-6    # × (‖q‖² + max ‖d‖²)
+_CERT_REL_T = 2.0 ** -13   # × t  (covers key quantization ×8 margin)
+_CERT_ABS = 1e-6
 
 
 def dispatch_plan(num_batches: int, dispatch_group: int) -> list[int]:
@@ -80,6 +121,18 @@ def dispatch_plan(num_batches: int, dispatch_group: int) -> list[int]:
         plan.append(g)
         left -= g
     return plan
+
+
+def pack_query_block(qV: np.ndarray, qtype, v, l, r) -> np.ndarray:
+    """Host-side: one (m, QPACK_W) float32 block = one relay upload."""
+    m = qV.shape[0]
+    out = np.empty((m, QPACK_W), np.float32)
+    out[:, : _c.VEC_DIM] = qV[:, : _c.VEC_DIM]
+    out[:, _c.VEC_DIM] = qtype               # 0..3, exact in fp32
+    out[:, _c.VEC_DIM + 1] = v
+    out[:, _c.VEC_DIM + 2] = l
+    out[:, _c.VEC_DIM + 3] = r
+    return out
 
 
 def _default_scan_impl() -> str:
@@ -109,6 +162,7 @@ class BatchedEngine:
         interpret: bool | None = None,
         dispatch_group: int | None = None,
         device_db: DeviceDB | None = None,
+        certified: bool = True,
     ):
         self.scan_impl = (
             _default_scan_impl() if scan_impl == "auto" else scan_impl
@@ -130,13 +184,28 @@ class BatchedEngine:
         self.kprime = kprime
         self.precision = resolve_precision(precision)
         self.topk_strategy = topk_strategy
-        # R entries kept per 128-lane bin; None = no sound choice (small n,
-        # or neighbor-clustered layouts) → certified-exact XLA path. The
-        # Pallas kernel additionally needs R·(db_tile/128) % 128 == 0.
+        # The certificate's error model assumes ≥3-pass matmul selection on
+        # fp32 storage; bf16 fast-mode is approximate by design (recall-gated
+        # rather than certified).
+        self.certified = bool(
+            certified
+            and dtype == jnp.float32
+            and self.precision
+            in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+        )
+        # R entries kept per 128-lane bin. Certified mode picks R for a tiny
+        # fallback RATE (correctness comes from the certificate); legacy mode
+        # demands the Poisson loss bound outright and may return None
+        # (→ certified-exact XLA path).
         if self.scan_impl == "pallas":
-            self.bin_top = kernel_bin_top(self.db.db_tile, self.db.n_pad, kprime)
+            self.bin_top = kernel_bin_top(
+                self.db.db_tile, self.db.n_pad, kprime,
+                certified=self.certified,
+            )
         else:
-            self.bin_top = choose_bin_top(self.db.n_pad, kprime)
+            self.bin_top = choose_bin_top(
+                self.db.n_pad, kprime, certified=self.certified
+            )
         if (
             self.scan_impl in ("pallas", "xla_deferred", "xla_packed")
             and self.bin_top is None
@@ -161,30 +230,51 @@ class BatchedEngine:
         self.dispatch_group = dispatch_group
         self._pos = jnp.arange(self.db.n_pad, dtype=jnp.int32)
         self.tail_V = jnp.asarray(common.tail_block_np(ds.V, t=kprime))
+        # max ‖d‖² for the certificate's matmul-error term (build-time sync).
+        self._dn_max = (
+            float(jnp.max(self.db.d_norms)) if self.certified else 0.0
+        )
+        # Two ids per int32 lane when they fit 16 bits (halves the id fetch).
+        self._pack_ids = self.db.n <= 0xFFFF
         self._search_jit = jax.jit(
-            self._search_batch, static_argnames=("self_k",)
+            self._search_batch, static_argnames=("self_k", "impl")
         )
         self._search_group_jit = jax.jit(
-            self._search_group, static_argnames=("self_k",)
+            self._search_group, static_argnames=("self_k", "impl")
         )
 
     # --- jitted core -----------------------------------------------------
     def _search_batch(
         self,
         Vp, Cf, Tf, dnf,        # flat database arrays (n_pad, ...)
-        qV, qtype, v, l, r,     # raw query batch arrays
+        Qblk,                   # (B, QPACK_W) packed query block
         sn, n,                  # traced scalars
         self_k: int,
+        impl: str | None = None,
     ):
         from hvq_tpu.ops import masks as mask_ops
 
+        impl = self.scan_impl if impl is None else impl
+        B = Qblk.shape[0]
+        qV = jnp.concatenate(
+            [
+                Qblk[:, : _c.VEC_DIM],
+                jnp.zeros((B, _c.PADDED_DIM - _c.VEC_DIM), Qblk.dtype),
+            ],
+            axis=1,
+        )
+        qtype = Qblk[:, _c.VEC_DIM].astype(jnp.int32)
+        v = Qblk[:, _c.VEC_DIM + 1]
+        l = Qblk[:, _c.VEC_DIM + 2]
+        r = Qblk[:, _c.VEC_DIM + 3]
         active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
             qtype, v, l, r
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         Dt = self.db.db_tile
-        if self.scan_impl in ("pallas", "xla_deferred", "xla_packed"):
-            if self.scan_impl == "pallas":
+        nt = self.db.n_pad // Dt
+        if impl in ("pallas", "xla_deferred", "xla_packed"):
+            if impl == "pallas":
                 out_s, out_i = fused_packed_scan(
                     Vp, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
@@ -192,7 +282,7 @@ class BatchedEngine:
                     interpret=self.interpret,
                     precision=self.precision,
                 )
-            elif self.scan_impl == "xla_packed":
+            elif impl == "xla_packed":
                 out_s, out_i = deferred_packed_scan_xla(
                     Vp, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
@@ -206,43 +296,89 @@ class BatchedEngine:
                     db_tile=Dt, bin_top=self.bin_top,
                     precision=self.precision,
                 )
-            kp = min(self.kprime, out_s.shape[1])
+            W = out_s.shape[1]
+            kp = min(self.kprime, W)
             top_neg, idx = jax.lax.top_k(-out_s, kp)
-            scores = -top_neg
+            scores = -top_neg                       # ascending quantized
             ids = jnp.take_along_axis(out_i, idx, axis=1)
-        else:
-            nt = self.db.n_pad // Dt
-            tiles = (
-                Vp.reshape(nt, Dt, Vp.shape[-1]),
-                Cf.reshape(nt, Dt),
-                Tf.reshape(nt, Dt),
-                dnf.reshape(nt, Dt),
+            f_ids, f_d = common.finalize(
+                scores, ids, Vp, qb, n, self_k, tail_V=self.tail_V
             )
-            scores, ids = common.scan_database(
-                tiles, qb, sn,
-                kprime=self.kprime, db_tile=Dt,
-                precision=self.precision, strategy=self.topk_strategy,
-                compute_dtype=self.compute_dtype,
-            )
-        return common.finalize(
+            if self.certified:
+                # Certificate: nothing outside the kept candidates can beat
+                # the k-th refined distance t (see module docstring).
+                t = f_d[:, self_k - 1]
+                qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
+                slack = (
+                    _CERT_REL_MM * (qnorm + self._dn_max)
+                    + _CERT_REL_T * t
+                    + _CERT_ABS
+                )
+                thr = t + slack
+                worst = last_round_dists(
+                    out_s, nt, self.bin_top, Dt // BIN
+                )                                    # (B, nt·bins)
+                suspect = jnp.min(worst, axis=1) < thr
+                if kp < W:
+                    # the k'-cut also discards candidates; its boundary must
+                    # clear t the same way
+                    suspect |= scores[:, kp - 1] < thr
+            else:
+                suspect = jnp.zeros((B,), bool)
+            return self._bundle(f_ids, suspect), f_d
+        # certified-exact streaming path (per-tile lax.top_k merge)
+        tiles = (
+            Vp.reshape(nt, Dt, Vp.shape[-1]),
+            Cf.reshape(nt, Dt),
+            Tf.reshape(nt, Dt),
+            dnf.reshape(nt, Dt),
+        )
+        scores, ids = common.scan_database(
+            tiles, qb, sn,
+            kprime=self.kprime, db_tile=Dt,
+            precision=self.precision, strategy=self.topk_strategy,
+            compute_dtype=self.compute_dtype,
+        )
+        f_ids, f_d = common.finalize(
             scores, ids, Vp, qb, n, self_k, tail_V=self.tail_V
         )
+        return self._bundle(f_ids, jnp.zeros((B,), bool)), f_d
 
-    def _search_group(self, Vp, Cf, Tf, dnf, qVg, qtypeg, vg, lg, rg, sn, n,
-                      self_k: int):
+    def _bundle(self, ids, suspect):
+        """One fetched int32 tensor per batch: [ids | certificate bit].
+
+        Ids pack two-per-lane when they fit 16 bits (n ≤ 65535 halves the
+        fetch); the suspect flag rides as a final column instead of its own
+        device array (each separate fetch costs a ~27 ms relay round trip).
+        """
+        if self._pack_ids and ids.shape[-1] % 2 == 0:
+            ids = ids[..., 0::2] | (ids[..., 1::2] << 16)
+        return jnp.concatenate(
+            [ids, suspect.astype(jnp.int32)[..., None]], axis=-1
+        )
+
+    def _unbundle(self, arr: np.ndarray, k: int):
+        ids_np, suspect = arr[..., :-1], arr[..., -1].astype(bool)
+        if self._pack_ids and k % 2 == 0:
+            u = ids_np.astype(np.uint32)
+            out = np.empty((*ids_np.shape[:-1], k), np.uint32)
+            out[..., 0::2] = u & 0xFFFF
+            out[..., 1::2] = u >> 16
+            ids_np = out
+        return ids_np, suspect
+
+    def _search_group(self, Vp, Cf, Tf, dnf, Qblk_g, sn, n,
+                      self_k: int, impl: str | None = None):
         """G query batches in ONE dispatch (amortizes host→device latency,
         which measures ~75 ms per call through the axon relay)."""
 
-        def step(_, xs):
-            qV, qtype, v, l, r = xs
+        def step(_, Qblk):
             return None, self._search_batch(
-                Vp, Cf, Tf, dnf, qV, qtype, v, l, r, sn, n, self_k
+                Vp, Cf, Tf, dnf, Qblk, sn, n, self_k, impl
             )
 
-        _, (ids, dists) = jax.lax.scan(
-            step, None, (qVg, qtypeg, vg, lg, rg)
-        )
-        return ids, dists
+        _, (bundle, dists) = jax.lax.scan(step, None, Qblk_g)
+        return bundle, dists
 
     # --- host driver -----------------------------------------------------
     def search(
@@ -250,19 +386,29 @@ class BatchedEngine:
         qs: QuerySet,
         k: int = _c.K_DEFAULT,
         sample_proportion: float = 1.0,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        from hvq_tpu.ops.distance import pad_vectors_np
+        return_dists: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Run the query set; returns (ids (m, k) uint32, dists (m, k) fp32).
 
+        ``return_dists=False`` skips the distance fetch — the reference's
+        ``vec_query`` contract is ids-only too (optimized_impl.h:392-437);
+        .dist files are recomputed from ids afterwards (io.h:50-78) via
+        formats.recompute_result_distances.
+        """
         n = self.db.n
         sn = jnp.int32(int(sample_proportion * n))
         n_t = jnp.int32(n)
         B = self.query_batch
 
         Vq, qtype, v, l, r, m_pad = common.pad_query_arrays(qs, B)
-        qVp_all = pad_vectors_np(Vq.astype(np.float32), _c.PADDED_DIM)
+        Qpack = pack_query_block(Vq.astype(np.float32), qtype, v, l, r)
+        Q_dev = jax.device_put(Qpack)         # ONE relay upload
 
-        ids_out = np.empty((m_pad, k), dtype=np.uint32)
-        dists_out = np.empty((m_pad, k), dtype=np.float32)
+        kw = (k // 2 if (self._pack_ids and k % 2 == 0) else k) + 1
+        bundle_raw = np.empty((m_pad, kw), dtype=np.int32)
+        dists_out = (
+            np.empty((m_pad, k), dtype=np.float32) if return_dists else None
+        )
         db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
         # Enqueue every dispatch without fetching (device results are tiny);
         # host→device uploads of group i+1 then overlap compute of group i,
@@ -271,28 +417,53 @@ class BatchedEngine:
         s = 0
         for G in dispatch_plan(m_pad // B, self.dispatch_group):
             if G > 1:
-                # grouped dispatch: G batches in one device call
                 e = s + G * B
-                grp = lambda a: jnp.asarray(a[s:e].reshape(G, B, *a.shape[1:]))
-                ids_b, d_b = self._search_group_jit(
-                    *db_args,
-                    grp(qVp_all), grp(qtype), grp(v), grp(l), grp(r),
+                b_b, d_b = self._search_group_jit(
+                    *db_args, Q_dev[s:e].reshape(G, B, QPACK_W),
                     sn, n_t, self_k=k,
                 )
             else:
                 e = s + B
-                ids_b, d_b = self._search_jit(
-                    *db_args,
-                    jnp.asarray(qVp_all[s:e]),
-                    jnp.asarray(qtype[s:e]),
-                    jnp.asarray(v[s:e]),
-                    jnp.asarray(l[s:e]),
-                    jnp.asarray(r[s:e]),
-                    sn, n_t, self_k=k,
+                b_b, d_b = self._search_jit(
+                    *db_args, Q_dev[s:e], sn, n_t, self_k=k,
                 )
-            pending.append((s, e, ids_b, d_b))
+            pending.append((s, e, b_b, d_b))
             s = e
-        for s, e, ids_b, d_b in pending:
-            ids_out[s:e] = np.asarray(ids_b).reshape(e - s, k)
-            dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
-        return ids_out[: qs.m], dists_out[: qs.m]
+        for s, e, b_b, d_b in pending:
+            bundle_raw[s:e] = np.asarray(b_b).reshape(e - s, kw)
+            if return_dists:
+                dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
+
+        ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
+        if suspects.any():
+            self._rerun_suspects(
+                Q_dev, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
+            )
+        ids_out, _ = self._unbundle(
+            np.concatenate(
+                [ids_raw, suspects.astype(np.int32)[:, None]], axis=1
+            ),
+            k,
+        )
+        return (
+            ids_out[: qs.m].astype(np.uint32),
+            dists_out[: qs.m] if return_dists else None,
+        )
+
+    def _rerun_suspects(
+        self, Q_dev, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
+    ):
+        """Re-run batches whose exactness certificate failed through the
+        streaming lax.top_k path (impl="xla" — no bin reduce, certified by
+        construction). Compiled lazily: on Poisson-like layouts this program
+        never builds; adversarial bin-concentrated layouts pay it once."""
+        for s in range(0, len(suspects), B):
+            if not suspects[s : s + B].any():
+                continue
+            b_b, d_b = self._search_jit(
+                *(self.db.Vp, self.db.C, self.db.T, self.db.d_norms),
+                Q_dev[s : s + B], sn, n_t, self_k=k, impl="xla",
+            )
+            ids_raw[s : s + B] = np.asarray(b_b).reshape(B, kw)[:, :-1]
+            if dists_out is not None:
+                dists_out[s : s + B] = np.asarray(d_b).reshape(B, k)

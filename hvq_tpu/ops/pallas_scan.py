@@ -41,23 +41,56 @@ from jax.experimental.pallas import tpu as pltpu
 BIN = 128  # lane-group width of the partial reduce
 
 
-def choose_bin_top(n_pad: int, kprime: int = 128) -> int | None:
+def _poisson_tail(lam: float, j: int) -> float:
+    """P(X ≥ j) for X ~ Poisson(lam), summed to convergence."""
+    import math
+
+    if j <= 0:
+        return 1.0
+    term = math.exp(-lam) * lam ** j / math.factorial(j)
+    total = 0.0
+    for i in range(200):
+        total += term
+        term *= lam / (j + i + 1)
+        if term < total * 1e-12:
+            break
+    return total
+
+
+def choose_bin_top(
+    n_pad: int, kprime: int = 128, certified: bool = False
+) -> int | None:
     """Pick R (entries kept per bin) so expected candidate loss is tiny.
 
     Losing a true top-k' candidate needs R+1 of the k' to share one bin;
     with bins = n/128 and X ~ Poisson(k'/bins), E[lost] ≈ bins·P(X ≥ R+1).
-    Returns None when no reasonable R is sound (small n → use the exact
-    XLA path; candidate count R·bins must also comfortably exceed k').
+
+    ``certified=False`` (legacy): returns None when no reasonable R keeps the
+    expected loss < 1e-4 (small n → use the exact XLA path).
+
+    ``certified=True``: the engine carries a device-side exactness
+    certificate (BatchedEngine) and falls back to the exact path when a bin
+    saturates, so R only controls the *fallback rate*, not correctness.
+    Target: expected suspect bins per query ≲ 1e-5 (so a 1024-query batch
+    practically never falls back on Poisson-distributed layouts); the
+    ladder extends far enough to cover small databases (bins ≥ 16).
     """
     bins = n_pad // BIN
-    lam = kprime / max(bins, 1)
-    import math
+    if bins < 1:
+        return None
+    lam = kprime / bins
 
+    if certified:
+        for R in (2, 3, 4, 6, 8, 10, 12, 16, 24, 32, 48, 64, 96, 128):
+            if R * bins < 2 * kprime:
+                continue
+            if bins * _poisson_tail(lam, R + 1) < 1e-5:
+                return min(R, BIN)
+        return BIN if bins * BIN >= n_pad else None  # keep everything
     for R in (2, 3, 4, 8):
         if R * bins < 4 * kprime:
             continue
-        # Poisson tail P(X >= R+1) ≈ lam^(R+1)/(R+1)!
-        if bins * lam ** (R + 1) / math.factorial(R + 1) < 1e-4:
+        if bins * _poisson_tail(lam, R + 1) < 1e-4:
             return R
     return None
 
@@ -359,12 +392,26 @@ def deferred_packed_scan_xla(
     return dist, pos
 
 
-def kernel_bin_top(db_tile: int, n_pad: int, kprime: int = 128) -> int | None:
+def last_round_dists(out_s, nt: int, bin_top: int, bins: int):
+    """Per-bin worst-kept distances from a deferred/fused scan's output.
+
+    All three scan variants lay out each tile's candidates round-major
+    ((B, nt·R·bins) with rounds contiguous inside a tile), so the final
+    round's columns are each bin's R-th (worst) extracted value — the
+    exactness certificate's per-bin saturation level. +inf where a bin had
+    fewer than R unmasked rows (never a false suspect)."""
+    B = out_s.shape[0]
+    return out_s.reshape(B, nt, bin_top, bins)[:, :, -1, :].reshape(B, -1)
+
+
+def kernel_bin_top(
+    db_tile: int, n_pad: int, kprime: int = 128, certified: bool = False
+) -> int | None:
     """bin_top for the fused packed kernel: at least the Poisson-sound R
     (choose_bin_top), rounded up so the per-tile output width
     ``R * db_tile/BIN`` is a multiple of 128 (Mosaic requires output block
     last dims divisible by 128)."""
-    R0 = choose_bin_top(n_pad, kprime)
+    R0 = choose_bin_top(n_pad, kprime, certified=certified)
     if R0 is None:
         return None
     bins = db_tile // BIN

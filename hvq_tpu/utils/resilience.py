@@ -50,28 +50,28 @@ class ResilientEngine:
         return getattr(self.engine, item)
 
     def search(self, qs: QuerySet, k: int = _c.K_DEFAULT,
-               sample_proportion: float = 1.0):
-        return self._search_range(qs, k, sample_proportion)
+               sample_proportion: float = 1.0, **kwargs):
+        return self._search_range(qs, k, sample_proportion, kwargs)
 
-    def _search_range(self, qs: QuerySet, k: int, sp: float):
+    def _search_range(self, qs: QuerySet, k: int, sp: float, kwargs):
         try:
-            return self._with_retries(qs, k, sp)
+            return self._with_retries(qs, k, sp, kwargs)
         except Exception as e:  # noqa: BLE001 — classify below
             if not _is_oom(e) or qs.m <= self.min_split:
                 raise
             mid = qs.m // 2
-            ids_a, d_a = self._search_range(_slice_queries(qs, 0, mid), k, sp)
-            ids_b, d_b = self._search_range(_slice_queries(qs, mid, qs.m), k, sp)
+            ids_a, d_a = self._search_range(_slice_queries(qs, 0, mid), k, sp, kwargs)
+            ids_b, d_b = self._search_range(_slice_queries(qs, mid, qs.m), k, sp, kwargs)
             return (
                 np.concatenate([ids_a, ids_b]),
-                np.concatenate([d_a, d_b]),
+                None if d_a is None else np.concatenate([d_a, d_b]),
             )
 
-    def _with_retries(self, qs: QuerySet, k: int, sp: float):
+    def _with_retries(self, qs: QuerySet, k: int, sp: float, kwargs):
         attempt = 0
         while True:
             try:
-                return self.engine.search(qs, k=k, sample_proportion=sp)
+                return self.engine.search(qs, k=k, sample_proportion=sp, **kwargs)
             except Exception as e:  # noqa: BLE001 — classify below
                 if _is_oom(e) or not _is_transient(e):
                     raise

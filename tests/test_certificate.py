@@ -1,0 +1,88 @@
+"""Exactness-certificate tests for the deferred bin-reduce scan.
+
+The packed scan keeps the best R per 128-lane bin; a bin holding more than
+R of a query's true top-k' would silently lose candidates on the legacy
+(Poisson-bound-only) path. The certificate (models/batched.py docstring)
+detects exactly that on device and re-runs the batch through the streaming
+``lax.top_k`` path — so adversarial, bin-concentrated layouts stay exact.
+This is the failure mode the reference never had (its Knn streams every
+candidate, include/optimized_impl.h:284-335) and a pure Poisson analysis
+can't exclude.
+"""
+
+import numpy as np
+import pytest
+
+from hvq_tpu.models.batched import BatchedEngine
+from hvq_tpu.models.oracle import search_oracle
+from hvq_tpu.utils.compare import recall_at_k
+from hvq_tpu.utils.formats import Dataset
+from hvq_tpu.utils.generators import generate_dataset, generate_queries
+
+from conftest import assert_results_match
+
+
+def _adversarial_pair(n=16384, hot=32, seed=3):
+    """Dataset whose ``hot`` nearest rows for query 0 all share bin 0.
+
+    Rows 0..hot-1 are tiny perturbations of the query vector; with
+    hot > R (the certified bin depth at this n is R=10) the bin reduce
+    MUST lose some of them — only the certificate saves the result.
+    """
+    ds = generate_dataset(n, seed=seed, categories=20)
+    qs = generate_queries(8, seed=seed + 1, categories=20, types=(0,))
+    rng = np.random.default_rng(seed + 2)
+    V = ds.V.copy()
+    V[:hot] = qs.V[0][None, :] + 1e-3 * rng.standard_normal((hot, V.shape[1]))
+    return Dataset(C=ds.C, T=ds.T, V=V.astype(np.float32)), qs
+
+
+def test_adversarial_bin_concentration_triggers_fallback():
+    ds, qs = _adversarial_pair()
+    eng = BatchedEngine(ds, query_batch=8, scan_impl="xla_packed")
+    assert eng.certified and eng.bin_top < 32
+
+    calls = []
+    orig = eng._rerun_suspects
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    eng._rerun_suspects = spy
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert calls, "certificate should have flagged the concentrated bin"
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+    # the concentrated rows really are the query's nearest neighbors
+    assert set(range(16)) <= set(ids[0][:32].tolist())
+
+
+def test_uncertified_packed_scan_loses_the_concentrated_bin():
+    """Sanity that the adversarial layout is genuinely adversarial: with the
+    certificate disabled (and the Poisson gate bypassed by keeping the
+    certified R), recall for the concentrated query drops below 1."""
+    ds, qs = _adversarial_pair()
+    eng = BatchedEngine(ds, query_batch=8, scan_impl="xla_packed")
+    eng.certified = False        # keep R=10 but drop the certificate
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    rec = recall_at_k(ids[:1], oids[:1], dists[:1], odists[:1])
+    assert rec < 1.0
+
+
+def test_random_layout_rarely_falls_back():
+    """On reference-distribution (uniform) data the certificate should pass
+    without a rerun: the fast path's throughput is preserved."""
+    ds = generate_dataset(16384, seed=9, categories=20)
+    qs = generate_queries(64, seed=10, categories=20)
+    eng = BatchedEngine(ds, query_batch=64, scan_impl="xla_packed")
+
+    def boom(*a, **kw):  # pragma: no cover - should never run
+        raise AssertionError("unexpected certificate fallback")
+
+    eng._rerun_suspects = boom
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0

@@ -86,10 +86,29 @@ def test_pallas_engine_padding_and_sample():
     assert_results_match(ds, qs, ids, dists, oids, odists)
 
 
-def test_small_db_falls_back_to_xla(small_ds):
+def test_small_db_keeps_fast_path_when_certified(small_ds, small_qs):
+    """Small DBs no longer force the slow path: the exactness certificate
+    (BatchedEngine docstring) makes the bin reduce safe at any size, with a
+    deeper R to keep the fallback rate tiny."""
     eng = BatchedEngine(small_ds, db_tile=256, query_batch=8,
                         scan_impl="pallas")
-    assert eng.scan_impl == "xla"  # unsound bin reduce → certified path
+    assert eng.scan_impl == "pallas" and eng.certified
+    assert eng.bin_top * (small_ds.n // 128 + 1) >= 256  # ≥ 2·k' candidates
+
+    from hvq_tpu.models.oracle import search_oracle
+
+    oids, odists = search_oracle(small_ds, small_qs)
+    ids, dists = eng.search(small_qs)
+    assert_results_match(small_ds, small_qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_small_db_falls_back_without_certificate(small_ds):
+    """certified=False restores the legacy Poisson-soundness gate: no sound
+    bin depth at 2k rows → the exact lax.top_k streaming path."""
+    eng = BatchedEngine(small_ds, db_tile=256, query_batch=8,
+                        scan_impl="pallas", certified=False)
+    assert eng.scan_impl == "xla"
 
 
 def test_xla_deferred_matches_oracle():

@@ -237,10 +237,10 @@ class BatchedEngine:
         # Two ids per int32 lane when they fit 16 bits (halves the id fetch).
         self._pack_ids = self.db.n <= 0xFFFF
         self._search_jit = jax.jit(
-            self._search_batch, static_argnames=("self_k", "impl")
+            self._search_batch, static_argnames=("self_k", "impl", "bin_top")
         )
         self._search_group_jit = jax.jit(
-            self._search_group, static_argnames=("self_k", "impl")
+            self._search_group, static_argnames=("self_k", "impl", "bin_top")
         )
 
     # --- jitted core -----------------------------------------------------
@@ -251,10 +251,12 @@ class BatchedEngine:
         sn, n,                  # traced scalars
         self_k: int,
         impl: str | None = None,
+        bin_top: int | None = None,
     ):
         from hvq_tpu.ops import masks as mask_ops
 
         impl = self.scan_impl if impl is None else impl
+        bin_top = self.bin_top if bin_top is None else bin_top
         B = Qblk.shape[0]
         qV = jnp.concatenate(
             [
@@ -278,7 +280,7 @@ class BatchedEngine:
                 out_s, out_i = fused_packed_scan(
                     Vp, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
-                    db_tile=Dt, bin_top=self.bin_top,
+                    db_tile=Dt, bin_top=bin_top,
                     interpret=self.interpret,
                     precision=self.precision,
                 )
@@ -286,14 +288,14 @@ class BatchedEngine:
                 out_s, out_i = deferred_packed_scan_xla(
                     Vp, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
-                    db_tile=Dt, bin_top=self.bin_top,
+                    db_tile=Dt, bin_top=bin_top,
                     precision=self.precision,
                 )
             else:
                 out_s, out_i = deferred_bin_scan_xla(
                     Vp, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
-                    db_tile=Dt, bin_top=self.bin_top,
+                    db_tile=Dt, bin_top=bin_top,
                     precision=self.precision,
                 )
             W = out_s.shape[1]
@@ -316,7 +318,7 @@ class BatchedEngine:
                 )
                 thr = t + slack
                 worst = last_round_dists(
-                    out_s, nt, self.bin_top, Dt // BIN
+                    out_s, nt, bin_top, Dt // BIN
                 )                                    # (B, nt·bins)
                 suspect = jnp.min(worst, axis=1) < thr
                 if kp < W:
@@ -368,13 +370,14 @@ class BatchedEngine:
         return ids_np, suspect
 
     def _search_group(self, Vp, Cf, Tf, dnf, Qblk_g, sn, n,
-                      self_k: int, impl: str | None = None):
+                      self_k: int, impl: str | None = None,
+                      bin_top: int | None = None):
         """G query batches in ONE dispatch (amortizes host→device latency,
         which measures ~75 ms per call through the axon relay)."""
 
         def step(_, Qblk):
             return None, self._search_batch(
-                Vp, Cf, Tf, dnf, Qblk, sn, n, self_k, impl
+                Vp, Cf, Tf, dnf, Qblk, sn, n, self_k, impl, bin_top
             )
 
         _, (bundle, dists) = jax.lax.scan(step, None, Qblk_g)
@@ -453,16 +456,39 @@ class BatchedEngine:
     def _rerun_suspects(
         self, Q_dev, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
     ):
-        """Re-run batches whose exactness certificate failed through the
-        streaming lax.top_k path (impl="xla" — no bin reduce, certified by
-        construction). Compiled lazily: on Poisson-like layouts this program
-        never builds; adversarial bin-concentrated layouts pay it once."""
+        """Re-run batches whose exactness certificate failed.
+
+        Escalation ladder (all programs lazily compiled — on Poisson-like
+        layouts none of them ever builds):
+
+        1. the packed scan again at 4× the bin depth (still ~the fast
+           path's cost; the Poisson tail at 4R+1 makes a second failure
+           essentially impossible for random layouts), then
+        2. the streaming lax.top_k path (impl="xla" — no bin reduce,
+           certified by construction) if the deeper scan is still suspect
+           (adversarial bin-concentrated layouts).
+        """
+        deeper = None
+        if self.scan_impl in ("pallas", "xla_packed", "xla_deferred"):
+            d = min(4 * self.bin_top, BIN)
+            deeper = d if d > self.bin_top else None
+        db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
         for s in range(0, len(suspects), B):
             if not suspects[s : s + B].any():
                 continue
+            if deeper is not None:
+                b_b, d_b = self._search_jit(
+                    *db_args, Q_dev[s : s + B], sn, n_t,
+                    self_k=k, impl="xla_packed", bin_top=deeper,
+                )
+                b_np = np.asarray(b_b).reshape(B, kw)
+                if not b_np[:, -1].any():
+                    ids_raw[s : s + B] = b_np[:, :-1]
+                    if dists_out is not None:
+                        dists_out[s : s + B] = np.asarray(d_b).reshape(B, k)
+                    continue
             b_b, d_b = self._search_jit(
-                *(self.db.Vp, self.db.C, self.db.T, self.db.d_norms),
-                Q_dev[s : s + B], sn, n_t, self_k=k, impl="xla",
+                *db_args, Q_dev[s : s + B], sn, n_t, self_k=k, impl="xla",
             )
             ids_raw[s : s + B] = np.asarray(b_b).reshape(B, kw)[:, :-1]
             if dists_out is not None:

@@ -17,6 +17,18 @@ block (models.common.finalize_with_tail).
 An optional "q" mesh axis additionally shards the query batch — pure query
 data-parallelism the reference lacks (it runs queries strictly sequentially,
 one fork-join per query, optimized_parallel.hpp:91).
+
+Exactness certificate (``certified=True``): same construction as
+BatchedEngine (see models/batched.py docstring), distributed — each shard's
+per-bin worst-kept minimum and k'-cut boundary are reduced with ``pmin``
+over the "d" axis inside the shard_map, so one replicated scalar per query
+certifies the WHOLE sharded scan. Suspect batches escalate exactly like the
+batched engine: deeper bin depth first, then the streaming exact path.
+
+Host↔device traffic mirrors BatchedEngine: queries upload as one packed
+(B, 104) raw-record block; ids and the certificate bit fetch as one int32
+bundle; ``search(return_dists=False)`` skips the distance fetch (the
+reference's vec_query contract is ids-only, src/test.cpp:95-110).
 """
 
 from __future__ import annotations
@@ -33,9 +45,17 @@ except ImportError:  # pragma: no cover - older JAX
 
 from hvq_tpu import constants as _c
 from hvq_tpu.models import common
+from hvq_tpu.models.batched import (
+    _CERT_ABS,
+    _CERT_REL_MM,
+    _CERT_REL_T,
+    QPACK_W,
+    pack_query_block,
+)
 from hvq_tpu.models.device_db import DeviceDB
 from hvq_tpu.ops import masks as mask_ops
 from hvq_tpu.ops.distance import exact_distances, resolve_precision
+from hvq_tpu.ops.pallas_scan import BIN, last_round_dists
 from hvq_tpu.parallel.collectives import allgather_topk_merge
 from hvq_tpu.parallel.mesh import make_mesh
 from hvq_tpu.utils.formats import Dataset, QuerySet
@@ -59,6 +79,7 @@ class ShardedEngine:
         scan_impl: str = "auto",
         interpret: bool | None = None,
         dispatch_group: int = 8,
+        certified: bool = True,
     ):
         self.mesh = mesh or make_mesh()
         self.dispatch_group = dispatch_group
@@ -89,14 +110,24 @@ class ShardedEngine:
         self.precision = resolve_precision(precision)
         self.topk_strategy = topk_strategy
         self.compute_dtype = dtype
+        self.certified = bool(
+            certified
+            and dtype == jnp.float32
+            and self.precision
+            in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+        )
         # Per-shard fused Pallas kernel (same policy as BatchedEngine).
         from hvq_tpu.ops.pallas_scan import choose_bin_top, kernel_bin_top
 
         local_rows = self.db.n_pad // self.n_d
         if scan_impl == "pallas":
-            self.bin_top = kernel_bin_top(db_tile, local_rows, kprime)
+            self.bin_top = kernel_bin_top(
+                db_tile, local_rows, kprime, certified=self.certified
+            )
         else:
-            self.bin_top = choose_bin_top(local_rows, kprime)
+            self.bin_top = choose_bin_top(
+                local_rows, kprime, certified=self.certified
+            )
         if scan_impl == "auto":
             # See models/batched._default_scan_impl: Mosaic compiles hang on
             # this environment's axon relay; the packed deferred scan is the
@@ -117,32 +148,69 @@ class ShardedEngine:
             if interpret is None
             else interpret
         )
-        self._search_jit = jax.jit(self._search_batch, static_argnames=("k",))
+        self._dn_max = (
+            float(jnp.max(self.db.d_norms)) if self.certified else 0.0
+        )
+        self._pack_ids = self.db.n <= 0xFFFF
+        self._search_jit = jax.jit(
+            self._search_batch, static_argnames=("k", "impl", "bin_top")
+        )
         self._search_group_jit = jax.jit(
-            self._search_group, static_argnames=("k",)
+            self._search_group, static_argnames=("k", "impl", "bin_top")
         )
 
-    def _search_group(self, Vp, C, T, dn, tail_V,
-                      qVg, qtypeg, vg, lg, rg, sn, n, k):
+    def _bundle(self, ids, suspect):
+        if self._pack_ids and ids.shape[-1] % 2 == 0:
+            ids = ids[..., 0::2] | (ids[..., 1::2] << 16)
+        return jnp.concatenate(
+            [ids, suspect.astype(jnp.int32)[..., None]], axis=-1
+        )
+
+    def _unbundle_ids(self, arr: np.ndarray, k: int):
+        ids_np, suspect = arr[..., :-1], arr[..., -1].astype(bool)
+        if self._pack_ids and k % 2 == 0:
+            u = ids_np.astype(np.uint32)
+            out = np.empty((*ids_np.shape[:-1], k), np.uint32)
+            out[..., 0::2] = u & 0xFFFF
+            out[..., 1::2] = u >> 16
+            ids_np = out
+        return ids_np, suspect
+
+    def _search_group(self, Vp, C, T, dn, tail_V, Qblk_g, sn, n, k,
+                      impl=None, bin_top=None):
         """G query batches per device dispatch (latency amortization)."""
 
-        def step(_, xs):
-            qV, qtype, v, l, r = xs
+        def step(_, Qblk):
             return None, self._search_batch(
-                Vp, C, T, dn, tail_V, qV, qtype, v, l, r, sn, n, k
+                Vp, C, T, dn, tail_V, Qblk, sn, n, k, impl, bin_top
             )
 
-        _, out = jax.lax.scan(step, None, (qVg, qtypeg, vg, lg, rg))
+        _, out = jax.lax.scan(step, None, Qblk_g)
         return out
 
     # --- jitted core -----------------------------------------------------
-    def _search_batch(self, Vp, C, T, dn, tail_V, qV, qtype, v, l, r, sn, n, k):
+    def _search_batch(self, Vp, C, T, dn, tail_V, Qblk, sn, n, k,
+                      impl=None, bin_top=None):
         db_tile = self.db.db_tile
         kprime = self.kprime
         precision = self.precision
         strategy = self.topk_strategy
         compute_dtype = self.compute_dtype
+        impl = self.scan_impl if impl is None else impl
+        bin_top = self.bin_top if bin_top is None else bin_top
 
+        B = Qblk.shape[0]
+        qV = jnp.concatenate(
+            [
+                Qblk[:, : _c.VEC_DIM],
+                jnp.zeros((B, _c.PADDED_DIM - _c.VEC_DIM), Qblk.dtype),
+            ],
+            axis=1,
+        )
+        qtype = Qblk[:, _c.VEC_DIM].astype(jnp.int32)
+        v = Qblk[:, _c.VEC_DIM + 1]
+        l = Qblk[:, _c.VEC_DIM + 2]
+        r = Qblk[:, _c.VEC_DIM + 3]
         active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
             qtype, v, l, r
         )
@@ -152,7 +220,9 @@ class ShardedEngine:
             nt = local_n // db_tile
             offset = jax.lax.axis_index("d") * local_n
             qb = common.QueryBatch(qV_l, ac_l, v_l, at_l, l_l, r_l)
-            if self.scan_impl in ("pallas", "xla_deferred", "xla_packed"):
+            Bl = qV_l.shape[0]
+            cert_min = jnp.full((Bl,), jnp.inf, jnp.float32)
+            if impl in ("pallas", "xla_deferred", "xla_packed"):
                 from hvq_tpu.ops.pallas_scan import (
                     deferred_bin_scan_xla,
                     deferred_packed_scan_xla,
@@ -162,20 +232,20 @@ class ShardedEngine:
                 gid_l = (
                     jnp.arange(local_n, dtype=jnp.int32) + offset
                 ).astype(jnp.int32)
-                if self.scan_impl == "pallas":
+                if impl == "pallas":
                     out_s, out_i = fused_packed_scan(
                         Vp_l, C_l, T_l, dn_l, gid_l,
                         qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
-                        db_tile=db_tile, bin_top=self.bin_top,
+                        db_tile=db_tile, bin_top=bin_top,
                         interpret=self.interpret,
                         precision=precision,
                     )
                     out_i = out_i + offset  # local positions → global ids
-                elif self.scan_impl == "xla_packed":
+                elif impl == "xla_packed":
                     out_s, out_i = deferred_packed_scan_xla(
                         Vp_l, C_l, T_l, dn_l, gid_l,
                         qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
-                        db_tile=db_tile, bin_top=self.bin_top,
+                        db_tile=db_tile, bin_top=bin_top,
                         precision=precision,
                     )
                     out_i = out_i + offset  # local positions → global ids
@@ -183,13 +253,23 @@ class ShardedEngine:
                     out_s, out_i = deferred_bin_scan_xla(
                         Vp_l, C_l, T_l, dn_l, gid_l,
                         qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
-                        db_tile=db_tile, bin_top=self.bin_top,
+                        db_tile=db_tile, bin_top=bin_top,
                         precision=precision,
                     )
-                kp = min(kprime, out_s.shape[1])
+                W = out_s.shape[1]
+                kp = min(kprime, W)
                 top_neg, idx = jax.lax.top_k(-out_s, kp)
                 scores = -top_neg
                 gids = jnp.take_along_axis(out_i, idx, axis=1)
+                if self.certified:
+                    # per-shard saturation level; pmin over "d" below makes
+                    # it a certificate for the whole sharded scan
+                    worst = last_round_dists(
+                        out_s, nt, bin_top, db_tile // BIN
+                    )
+                    cert_min = jnp.min(worst, axis=1)
+                    if kp < W:
+                        cert_min = jnp.minimum(cert_min, scores[:, kp - 1])
             else:
                 tiles = (
                     Vp_l.reshape(nt, db_tile, Vp_l.shape[-1]),
@@ -214,9 +294,11 @@ class ShardedEngine:
             rows = jnp.take(Vp_l, local_idx, axis=0)
             exact = jnp.where(valid, exact_distances(qb.qV, rows), jnp.inf)
             # Knn::merge over ICI (optimized_parallel.hpp:142-146 analogue).
-            return allgather_topk_merge(exact, gids, kprime, axis_name="d")
+            m_d, m_i = allgather_topk_merge(exact, gids, kprime, axis_name="d")
+            cert_min = jax.lax.pmin(cert_min, axis_name="d")
+            return m_d, m_i, cert_min
 
-        merged_d, merged_ids = _shard_map(
+        merged_d, merged_ids, cert_min = _shard_map(
             local_scan,
             mesh=self.mesh,
             in_specs=(
@@ -224,14 +306,26 @@ class ShardedEngine:
                 P("q", None), P("q"), P("q"), P("q"), P("q"), P("q"),
                 P(), P(),
             ),
-            out_specs=(P("q", None), P("q", None)),
+            out_specs=(P("q", None), P("q", None), P("q")),
             check_vma=False,
         )(Vp, C, T, dn, qV, active_c, vv, active_t, ll, rr, sn, n)
 
         qb_global = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
-        return common.finalize_with_tail(
+        f_ids, f_d = common.finalize_with_tail(
             merged_d, merged_ids, tail_V, qb_global, n, k
         )
+        if self.certified and impl in ("pallas", "xla_deferred", "xla_packed"):
+            t = f_d[:, k - 1]
+            qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
+            slack = (
+                _CERT_REL_MM * (qnorm + self._dn_max)
+                + _CERT_REL_T * t
+                + _CERT_ABS
+            )
+            suspect = cert_min < t + slack
+        else:
+            suspect = jnp.zeros((B,), bool)
+        return self._bundle(f_ids, suspect), f_d
 
     # --- host driver -----------------------------------------------------
     def search(
@@ -239,26 +333,25 @@ class ShardedEngine:
         qs: QuerySet,
         k: int = _c.K_DEFAULT,
         sample_proportion: float = 1.0,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        from hvq_tpu.ops.distance import pad_vectors_np
-
+        return_dists: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray | None]:
         n = self.db.n
         sn = jnp.int32(int(sample_proportion * n))
         n_t = jnp.int32(n)
         B = self.query_batch
 
         Vq, qtype, v, l, r, m_pad = common.pad_query_arrays(qs, B)
-        qVp_all = pad_vectors_np(Vq.astype(np.float32), _c.PADDED_DIM)
-
-        qrep = NamedSharding(self.mesh, P("q"))
+        Qpack = pack_query_block(Vq.astype(np.float32), qtype, v, l, r)
         qrep2 = NamedSharding(self.mesh, P("q", None))
-        grep = NamedSharding(self.mesh, P(None, "q"))
         grep2 = NamedSharding(self.mesh, P(None, "q", None))
         db_args = (
             self.db.Vp, self.db.C, self.db.T, self.db.d_norms, self.tail_V,
         )
-        ids_out = np.empty((m_pad, k), dtype=np.uint32)
-        dists_out = np.empty((m_pad, k), dtype=np.float32)
+        kw = (k // 2 if (self._pack_ids and k % 2 == 0) else k) + 1
+        bundle_raw = np.empty((m_pad, kw), dtype=np.int32)
+        dists_out = (
+            np.empty((m_pad, k), dtype=np.float32) if return_dists else None
+        )
         G = max(1, self.dispatch_group)
         # Enqueue all dispatches, fetch at the end (see BatchedEngine.search:
         # overlaps uploads with compute, pipelines per-call latency).
@@ -268,29 +361,74 @@ class ShardedEngine:
             nb = (m_pad - s) // B
             if nb >= G:
                 e = s + G * B
-                grp = lambda a, sh: jax.device_put(
-                    jnp.asarray(a[s:e].reshape(G, B, *a.shape[1:])), sh
-                )
-                ids_b, d_b = self._search_group_jit(
+                b_b, d_b = self._search_group_jit(
                     *db_args,
-                    grp(qVp_all, grep2), grp(qtype, grep), grp(v, grep),
-                    grp(l, grep), grp(r, grep),
+                    jax.device_put(
+                        Qpack[s:e].reshape(G, B, QPACK_W), grep2
+                    ),
                     sn, n_t, k=k,
                 )
             else:
                 e = s + B
-                ids_b, d_b = self._search_jit(
+                b_b, d_b = self._search_jit(
                     *db_args,
-                    jax.device_put(jnp.asarray(qVp_all[s:e]), qrep2),
-                    jax.device_put(jnp.asarray(qtype[s:e]), qrep),
-                    jax.device_put(jnp.asarray(v[s:e]), qrep),
-                    jax.device_put(jnp.asarray(l[s:e]), qrep),
-                    jax.device_put(jnp.asarray(r[s:e]), qrep),
+                    jax.device_put(Qpack[s:e], qrep2),
                     sn, n_t, k=k,
                 )
-            pending.append((s, e, ids_b, d_b))
+            pending.append((s, e, b_b, d_b))
             s = e
-        for s, e, ids_b, d_b in pending:
-            ids_out[s:e] = np.asarray(ids_b).reshape(e - s, k)
-            dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
-        return ids_out[: qs.m], dists_out[: qs.m]
+        for s, e, b_b, d_b in pending:
+            bundle_raw[s:e] = np.asarray(b_b).reshape(e - s, kw)
+            if return_dists:
+                dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
+
+        ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
+        if suspects.any():
+            self._rerun_suspects(
+                Qpack, qrep2, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
+            )
+        ids_out, _ = self._unbundle_ids(
+            np.concatenate(
+                [ids_raw, suspects.astype(np.int32)[:, None]], axis=1
+            ),
+            k,
+        )
+        return (
+            ids_out[: qs.m].astype(np.uint32),
+            dists_out[: qs.m] if return_dists else None,
+        )
+
+    def _rerun_suspects(
+        self, Qpack, qrep2, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
+    ):
+        """Same escalation ladder as BatchedEngine._rerun_suspects: deeper
+        bin depth first, then the streaming exact path (both lazily
+        compiled)."""
+        deeper = None
+        if self.scan_impl in ("pallas", "xla_packed", "xla_deferred"):
+            d = min(4 * self.bin_top, BIN)
+            deeper = d if d > self.bin_top else None
+        db_args = (
+            self.db.Vp, self.db.C, self.db.T, self.db.d_norms, self.tail_V,
+        )
+        for s in range(0, len(suspects), B):
+            if not suspects[s : s + B].any():
+                continue
+            Q_b = jax.device_put(Qpack[s : s + B], qrep2)
+            if deeper is not None:
+                b_b, d_b = self._search_jit(
+                    *db_args, Q_b, sn, n_t,
+                    k=k, impl="xla_packed", bin_top=deeper,
+                )
+                b_np = np.asarray(b_b).reshape(B, kw)
+                if not b_np[:, -1].any():
+                    ids_raw[s : s + B] = b_np[:, :-1]
+                    if dists_out is not None:
+                        dists_out[s : s + B] = np.asarray(d_b).reshape(B, k)
+                    continue
+            b_b, d_b = self._search_jit(
+                *db_args, Q_b, sn, n_t, k=k, impl="xla",
+            )
+            ids_raw[s : s + B] = np.asarray(b_b).reshape(B, kw)[:, :-1]
+            if dists_out is not None:
+                dists_out[s : s + B] = np.asarray(d_b).reshape(B, k)

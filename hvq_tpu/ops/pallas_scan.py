@@ -69,11 +69,13 @@ def choose_bin_top(
     expected loss < 1e-4 (small n → use the exact XLA path).
 
     ``certified=True``: the engine carries a device-side exactness
-    certificate (BatchedEngine) and falls back to the exact path when a bin
-    saturates, so R only controls the *fallback rate*, not correctness.
-    Target: expected suspect bins per query ≲ 1e-5 (so a 1024-query batch
-    practically never falls back on Poisson-distributed layouts); the
-    ladder extends far enough to cover small databases (bins ≥ 16).
+    certificate (BatchedEngine) and re-runs suspect batches (first at a
+    deeper R, then through the exact path), so R only controls the
+    *fallback rate*, not correctness. Target: expected suspect queries
+    ≲ 1e-4 each (≈10% of 1024-query batches escalate once, paying ~1.3×
+    for that batch — cheaper than a deeper R on EVERY batch, whose cost
+    grows with the candidate-stream width nt·R·bins); the ladder extends
+    far enough to cover small databases (bins ≥ 16).
     """
     bins = n_pad // BIN
     if bins < 1:
@@ -84,7 +86,7 @@ def choose_bin_top(
         for R in (2, 3, 4, 6, 8, 10, 12, 16, 24, 32, 48, 64, 96, 128):
             if R * bins < 2 * kprime:
                 continue
-            if bins * _poisson_tail(lam, R + 1) < 1e-5:
+            if bins * _poisson_tail(lam, R + 1) < 1e-4:
                 return min(R, BIN)
         return BIN if bins * BIN >= n_pad else None  # keep everything
     for R in (2, 3, 4, 8):

@@ -72,6 +72,57 @@ def test_uncertified_packed_scan_loses_the_concentrated_bin():
     assert rec < 1.0
 
 
+def test_sharded_adversarial_bin_concentration_triggers_fallback():
+    """Distributed certificate: the per-shard saturation minima are
+    pmin-reduced over the "d" mesh axis, so a concentration inside ONE
+    shard's bins must still flag the whole sharded scan."""
+    from hvq_tpu.models.sharded import ShardedEngine
+
+    ds, qs = _adversarial_pair()
+    eng = ShardedEngine(
+        ds, db_tile=512, query_batch=8, scan_impl="xla_packed"
+    )
+    assert eng.certified and eng.bin_top < 32
+
+    calls = []
+    orig = eng._rerun_suspects
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    eng._rerun_suspects = spy
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert calls, "sharded certificate should have flagged the hot bin"
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_escalation_ladder_deeper_pass_suffices():
+    """With bin_top forced to 2 on a random layout, bins saturate and the
+    certificate fires, but the 4x-deeper rerun (step 1 of the ladder) must
+    already be exact — the streaming path (step 2) never compiles."""
+    ds = generate_dataset(16384, seed=21, categories=20)
+    qs = generate_queries(32, seed=22, categories=20)
+    eng = BatchedEngine(ds, query_batch=32, scan_impl="xla_packed")
+    eng.bin_top = 2
+
+    impls = []
+    orig = eng._search_jit
+
+    def spy(*a, **kw):
+        impls.append(kw.get("impl"))
+        return orig(*a, **kw)
+
+    eng._search_jit = spy
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+    assert "xla_packed" in impls, "deeper rerun should have run"
+    assert "xla" not in impls, "streaming fallback should not be needed"
+
+
 def test_random_layout_rarely_falls_back():
     """On reference-distribution (uniform) data the certificate should pass
     without a rerun: the fast path's throughput is preserved."""

@@ -440,7 +440,7 @@ class BatchedEngine:
         ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
         if suspects.any():
             self._rerun_suspects(
-                Q_dev, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
+                Qpack, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
             )
         ids_out, _ = self._unbundle(
             np.concatenate(
@@ -454,42 +454,59 @@ class BatchedEngine:
         )
 
     def _rerun_suspects(
-        self, Q_dev, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
+        self, Qpack, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
     ):
-        """Re-run batches whose exactness certificate failed.
+        """Re-run the queries whose exactness certificate failed.
 
-        Escalation ladder (all programs lazily compiled — on Poisson-like
-        layouts none of them ever builds):
+        Suspects are COMPACTED into fresh query batches first (flagged
+        queries scattered across the whole set cost ceil(S/B) extra batch
+        runs, not one rerun per touched batch). The flag rate is the bin
+        SATURATION rate bins·P(Pois(k/bins) ≥ R) — ~0.3% of queries at
+        D=10⁶/R=3, ~6% at D=10⁷/R=2 (experiments/suspect_anatomy.py
+        measured 31/10⁴ vs the model's 27) — almost all benign: an actual
+        loss needs ≥ R+1 in one bin (~1e-5). Escalation ladder per
+        compacted batch (all programs lazily compiled):
 
-        1. the packed scan again at 4× the bin depth (still ~the fast
-           path's cost; the Poisson tail at 4R+1 makes a second failure
-           essentially impossible for random layouts), then
+        1. the packed scan again at 2× the bin depth — conditional
+           re-flag P(X ≥ 2R | X ≥ R) ≲ 1e-7 on Poisson layouts, and the
+           candidate-stream memory stays ~2× the fast path's (4R at
+           D=10⁷ would allocate ~5 GB next to the 5 GB database); then
         2. the streaming lax.top_k path (impl="xla" — no bin reduce,
-           certified by construction) if the deeper scan is still suspect
-           (adversarial bin-concentrated layouts).
+           certified by construction) for queries still suspect after the
+           deeper scan (adversarial bin-concentrated layouts).
         """
         deeper = None
         if self.scan_impl in ("pallas", "xla_packed", "xla_deferred"):
-            d = min(4 * self.bin_top, BIN)
+            d = min(2 * self.bin_top, BIN)
             deeper = d if d > self.bin_top else None
         db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
-        for s in range(0, len(suspects), B):
-            if not suspects[s : s + B].any():
-                continue
+        idx = np.nonzero(suspects)[0]
+        pad = (-len(idx)) % B
+        idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
+        for s in range(0, len(idxp), B):
+            sel = idxp[s : s + B]
+            Q_b = jax.device_put(Qpack[sel])
+            still = np.ones(len(sel), bool)
             if deeper is not None:
                 b_b, d_b = self._search_jit(
-                    *db_args, Q_dev[s : s + B], sn, n_t,
+                    *db_args, Q_b, sn, n_t,
                     self_k=k, impl="xla_packed", bin_top=deeper,
                 )
                 b_np = np.asarray(b_b).reshape(B, kw)
-                if not b_np[:, -1].any():
-                    ids_raw[s : s + B] = b_np[:, :-1]
-                    if dists_out is not None:
-                        dists_out[s : s + B] = np.asarray(d_b).reshape(B, k)
-                    continue
-            b_b, d_b = self._search_jit(
-                *db_args, Q_dev[s : s + B], sn, n_t, self_k=k, impl="xla",
-            )
-            ids_raw[s : s + B] = np.asarray(b_b).reshape(B, kw)[:, :-1]
-            if dists_out is not None:
-                dists_out[s : s + B] = np.asarray(d_b).reshape(B, k)
+                fixed = b_np[:, -1] == 0
+                ids_raw[sel[fixed]] = b_np[fixed][:, :-1]
+                if dists_out is not None:
+                    dists_out[sel[fixed]] = np.asarray(d_b).reshape(B, k)[
+                        fixed
+                    ]
+                still = ~fixed
+            if still.any():
+                b_b, d_b = self._search_jit(
+                    *db_args, Q_b, sn, n_t, self_k=k, impl="xla",
+                )
+                b_np = np.asarray(b_b).reshape(B, kw)
+                ids_raw[sel[still]] = b_np[still][:, :-1]
+                if dists_out is not None:
+                    dists_out[sel[still]] = np.asarray(d_b).reshape(B, k)[
+                        still
+                    ]

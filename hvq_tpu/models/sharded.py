@@ -401,34 +401,43 @@ class ShardedEngine:
     def _rerun_suspects(
         self, Qpack, qrep2, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
     ):
-        """Same escalation ladder as BatchedEngine._rerun_suspects: deeper
-        bin depth first, then the streaming exact path (both lazily
-        compiled)."""
+        """Same ladder as BatchedEngine._rerun_suspects: suspects compacted
+        into fresh batches, deeper bin depth first, then the streaming
+        exact path (all lazily compiled)."""
         deeper = None
         if self.scan_impl in ("pallas", "xla_packed", "xla_deferred"):
-            d = min(4 * self.bin_top, BIN)
+            d = min(2 * self.bin_top, BIN)
             deeper = d if d > self.bin_top else None
         db_args = (
             self.db.Vp, self.db.C, self.db.T, self.db.d_norms, self.tail_V,
         )
-        for s in range(0, len(suspects), B):
-            if not suspects[s : s + B].any():
-                continue
-            Q_b = jax.device_put(Qpack[s : s + B], qrep2)
+        idx = np.nonzero(suspects)[0]
+        pad = (-len(idx)) % B
+        idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
+        for s in range(0, len(idxp), B):
+            sel = idxp[s : s + B]
+            Q_b = jax.device_put(Qpack[sel], qrep2)
+            still = np.ones(len(sel), bool)
             if deeper is not None:
                 b_b, d_b = self._search_jit(
                     *db_args, Q_b, sn, n_t,
                     k=k, impl="xla_packed", bin_top=deeper,
                 )
                 b_np = np.asarray(b_b).reshape(B, kw)
-                if not b_np[:, -1].any():
-                    ids_raw[s : s + B] = b_np[:, :-1]
-                    if dists_out is not None:
-                        dists_out[s : s + B] = np.asarray(d_b).reshape(B, k)
-                    continue
-            b_b, d_b = self._search_jit(
-                *db_args, Q_b, sn, n_t, k=k, impl="xla",
-            )
-            ids_raw[s : s + B] = np.asarray(b_b).reshape(B, kw)[:, :-1]
-            if dists_out is not None:
-                dists_out[s : s + B] = np.asarray(d_b).reshape(B, k)
+                fixed = b_np[:, -1] == 0
+                ids_raw[sel[fixed]] = b_np[fixed][:, :-1]
+                if dists_out is not None:
+                    dists_out[sel[fixed]] = np.asarray(d_b).reshape(B, k)[
+                        fixed
+                    ]
+                still = ~fixed
+            if still.any():
+                b_b, d_b = self._search_jit(
+                    *db_args, Q_b, sn, n_t, k=k, impl="xla",
+                )
+                b_np = np.asarray(b_b).reshape(B, kw)
+                ids_raw[sel[still]] = b_np[still][:, :-1]
+                if dists_out is not None:
+                    dists_out[sel[still]] = np.asarray(d_b).reshape(B, k)[
+                        still
+                    ]

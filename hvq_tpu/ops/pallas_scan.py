@@ -69,13 +69,23 @@ def choose_bin_top(
     expected loss < 1e-4 (small n → use the exact XLA path).
 
     ``certified=True``: the engine carries a device-side exactness
-    certificate (BatchedEngine) and re-runs suspect batches (first at a
-    deeper R, then through the exact path), so R only controls the
-    *fallback rate*, not correctness. Target: expected suspect queries
-    ≲ 1e-4 each (≈10% of 1024-query batches escalate once, paying ~1.3×
-    for that batch — cheaper than a deeper R on EVERY batch, whose cost
-    grows with the candidate-stream width nt·R·bins); the ladder extends
-    far enough to cover small databases (bins ≥ 16).
+    certificate (BatchedEngine) and re-runs COMPACTED suspect queries
+    (first at 2R, then through the exact path), so R only controls cost,
+    not correctness. Two distinct rates matter:
+
+    - *loss* rate bins·P(X ≥ R+1) — a candidate actually dropped; the
+      rerun is what restores exactness. Target < 1e-4 per query (the loop
+      condition below).
+    - *flag* rate bins·P(X ≥ R) — a bin SATURATED at the t-threshold
+      (kept exactly R below t; nothing provably lost, but the device
+      can't tell). This is the rerun frequency the engine pays: ≈2.7e-3
+      per query at D=10⁶/R=3 (experiments/suspect_anatomy.py measured
+      31/10⁴ vs this model's 27), ≈6.4e-2 at D=10⁷/R=2. With suspects
+      compacted into fresh batches this costs well under the ~15-25% a
+      uniformly deeper R would (scan cost grows with the stream width
+      nt·R·bins), so R is tuned on the loss bound, not the flag rate.
+
+    The ladder extends far enough to cover small databases (bins ≥ 16).
     """
     bins = n_pad // BIN
     if bins < 1:

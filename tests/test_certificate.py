@@ -100,13 +100,14 @@ def test_sharded_adversarial_bin_concentration_triggers_fallback():
 
 
 def test_escalation_ladder_deeper_pass_suffices():
-    """With bin_top forced to 2 on a random layout, bins saturate and the
-    certificate fires, but the 4x-deeper rerun (step 1 of the ladder) must
-    already be exact — the streaming path (step 2) never compiles."""
-    ds = generate_dataset(16384, seed=21, categories=20)
+    """With bin_top forced to 3 on a random layout (bins·P(X≥3) ≈ 0.6 per
+    query), bins saturate and the certificate fires, but the 2R rerun
+    (step 1 of the ladder) must already be exact — the streaming path
+    (step 2) never compiles (bins·P(X≥6) ≈ 4e-5)."""
+    ds = generate_dataset(65536, seed=21, categories=20)
     qs = generate_queries(32, seed=22, categories=20)
     eng = BatchedEngine(ds, query_batch=32, scan_impl="xla_packed")
-    eng.bin_top = 2
+    eng.bin_top = 3
 
     impls = []
     orig = eng._search_jit

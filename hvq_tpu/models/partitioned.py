@@ -62,6 +62,7 @@ class PartitionedEngine:
         route_buckets: tuple[int, ...] = (4096, 32768, 262144),
         routed_batch: int | None = None,
         dispatch_group: int = 8,
+        certified: bool = True,
     ):
         self.index = index or PartitionedIndex.build(
             ds, db_tile=db_tile, dtype=dtype
@@ -72,31 +73,52 @@ class PartitionedEngine:
         self.precision = resolve_precision(precision)
         self.topk_strategy = topk_strategy
         self.compute_dtype = dtype
+        # Same gate as BatchedEngine: the certificate's error model assumes
+        # ≥3-pass matmul selection on fp32 storage.
+        self.certified = bool(
+            certified
+            and dtype == jnp.float32
+            and self.precision
+            in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+        )
         n_pad = self.index.cat_view.n_pad
         # Bucketed span caps (≥ kprime so the routed top-k is well-formed,
         # ≤ n_pad so the dynamic slice fits), ascending, deduplicated.
         caps = sorted({min(max(b, kprime), n_pad) for b in route_buckets})
         # Wide ranges use the deferred packed full scan — same algorithm as
-        # BatchedEngine's default. Bin collisions stay random because vectors
+        # BatchedEngine's default, including its exactness certificate +
+        # compacted escalation. Bin collisions stay random because vectors
         # are independent of the (C, T) sort order.
         from hvq_tpu.ops.pallas_scan import choose_bin_top
 
-        self.bin_top = choose_bin_top(n_pad, kprime)
+        self.bin_top = choose_bin_top(
+            n_pad, kprime, certified=self.certified
+        )
         if self.bin_top is None and (not caps or caps[-1] < n_pad):
             # tiny DB: the deferred full scan has no sound bin depth, so
             # EVERY query routes — there must be a bucket covering any span
             caps.append(n_pad)
         self.route_buckets = tuple(c for c in caps if c >= kprime)
+        self._dn_max = (
+            float(jnp.max(self.index.cat_view.d_norms))
+            if self.certified
+            else 0.0
+        )
         # Routed scans cost ~µs per query: pack many into one dispatch so
         # the fixed host/relay round trip amortizes.
         self.routed_batch = routed_batch or 4 * query_batch
         self.dispatch_group = dispatch_group
-        self._jit_full = jax.jit(self._search_full, static_argnames=("k",))
+        self._jit_full = jax.jit(
+            self._search_full, static_argnames=("k", "bin_top")
+        )
         self._jit_full_group = jax.jit(
-            self._search_full_group, static_argnames=("k",)
+            self._search_full_group, static_argnames=("k", "bin_top")
         )
         self._jit_routed = jax.jit(
             self._search_routed, static_argnames=("k", "span_cap")
+        )
+        self._jit_stream = jax.jit(
+            self._search_stream, static_argnames=("k",)
         )
 
     # --- jitted cores ------------------------------------------------------
@@ -165,9 +187,21 @@ class PartitionedEngine:
         qV, qtype, v, l, r,
         sn, n,
         k: int,
+        bin_top: int | None = None,
     ):
-        from hvq_tpu.ops.pallas_scan import deferred_packed_scan_xla
+        from hvq_tpu.models.batched import (
+            _CERT_ABS,
+            _CERT_REL_MM,
+            _CERT_REL_T,
+        )
+        from hvq_tpu.ops.pallas_scan import (
+            BIN,
+            deferred_packed_scan_xla,
+            last_round_dists,
+        )
 
+        bin_top = self.bin_top if bin_top is None else bin_top
+        db_tile = self.index.cat_view.db_tile
         active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
             qtype, v, l, r
         )
@@ -178,15 +212,70 @@ class PartitionedEngine:
         out_s, out_i = deferred_packed_scan_xla(
             Vp_view, C_view, T_view, dn_view, oid_view,
             qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
-            db_tile=self.index.cat_view.db_tile, bin_top=self.bin_top,
+            db_tile=db_tile, bin_top=bin_top,
             precision=self.precision,
         )
-        kp = min(self.kprime, out_s.shape[1])
+        W = out_s.shape[1]
+        kp = min(self.kprime, W)
         top_neg, idx = jax.lax.top_k(-out_s, kp)
         scores = -top_neg
         cand_pos = jnp.take_along_axis(out_i, idx, axis=1)
-        return common.finalize_view(
+        f_ids, f_d = common.finalize_view(
             scores, cand_pos, Vp_view, oid_view, tail_V, qb, n, k
+        )
+        if self.certified:
+            # Same construction as BatchedEngine (models/batched.py
+            # docstring): per-bin saturation minima + the k'-cut boundary
+            # vs the k-th final distance plus fp slack.
+            nt = Vp_view.shape[0] // db_tile
+            cert_min = jnp.min(
+                last_round_dists(out_s, nt, bin_top, db_tile // BIN), axis=1
+            )
+            if kp < W:
+                cert_min = jnp.minimum(cert_min, scores[:, kp - 1])
+            t = f_d[:, k - 1]
+            qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
+            slack = (
+                _CERT_REL_MM * (qnorm + self._dn_max)
+                + _CERT_REL_T * t
+                + _CERT_ABS
+            )
+            suspect = cert_min < t + slack
+        else:
+            suspect = jnp.zeros((qV.shape[0],), bool)
+        return f_ids, f_d, suspect
+
+    def _search_stream(
+        self,
+        Vp_view, C_view, T_view, dn_view, oid_view,
+        tail_V,
+        qV, qtype, v, l, r,
+        sn, n,
+        k: int,
+    ):
+        """Certified-by-construction streaming top-k' scan over the view —
+        the escalation ladder's last rung (no bin reduce to saturate)."""
+        db_tile = self.index.cat_view.db_tile
+        nt = Vp_view.shape[0] // db_tile
+        active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
+            qtype, v, l, r
+        )
+        qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
+        tiles = (
+            Vp_view.reshape(nt, db_tile, Vp_view.shape[-1]),
+            C_view.reshape(nt, db_tile),
+            T_view.reshape(nt, db_tile),
+            dn_view.reshape(nt, db_tile),
+        )
+        scores, pos = common.scan_database(
+            tiles, qb, sn, self.kprime, db_tile,
+            precision=self.precision,
+            strategy=self.topk_strategy,
+            compute_dtype=self.compute_dtype,
+            oid_tiles=oid_view.reshape(nt, db_tile),
+        )
+        return common.finalize_view(
+            scores, pos, Vp_view, oid_view, tail_V, qb, n, k
         )
 
     def _search_full_group(
@@ -195,6 +284,7 @@ class PartitionedEngine:
         qVg, qtypeg, vg, lg, rg,          # (G, B, ...) stacked batches
         sn, n,
         k: int,
+        bin_top: int | None = None,
     ):
         """G full-scan batches in ONE dispatch (fixed-cost amortization)."""
 
@@ -202,7 +292,7 @@ class PartitionedEngine:
             qV, qtype, v, l, r = xs
             return None, self._search_full(
                 Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
-                qV, qtype, v, l, r, sn, n, k,
+                qV, qtype, v, l, r, sn, n, k, bin_top,
             )
 
         _, out = jax.lax.scan(step, None, (qVg, qtypeg, vg, lg, rg))
@@ -214,7 +304,8 @@ class PartitionedEngine:
         qs: QuerySet,
         k: int = _c.K_DEFAULT,
         sample_proportion: float = 1.0,
-    ) -> tuple[np.ndarray, np.ndarray]:
+        return_dists: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray | None]:
         idx = self.index
         n = idx.cat_view.n
         sn_val = int(sample_proportion * n)
@@ -222,7 +313,9 @@ class PartitionedEngine:
         span = end - start
 
         ids_out = np.empty((qs.m, k), dtype=np.uint32)
-        dists_out = np.empty((qs.m, k), dtype=np.float32)
+        dists_out = (
+            np.empty((qs.m, k), dtype=np.float32) if return_dists else None
+        )
 
         # Per-query bucket: smallest cap covering the span; -1 = full scan.
         # Full-range queries (type 0 and degenerate single-partition cases)
@@ -309,15 +402,70 @@ class PartitionedEngine:
                         k=k, span_cap=cap,
                     )
                     pending.append((batch_idx, out, None))
-        for batch_idx, (ids_b, d_b), B_g in pending:
+        suspect_q = []
+        for batch_idx, out, B_g in pending:
+            ids_b, d_b = out[0], out[1]
             ids_np = np.asarray(ids_b)
-            d_np = np.asarray(d_b)
             if B_g is not None:               # grouped: (G, B, k) → flat
                 ids_np = ids_np.reshape(-1, k)
-                d_np = d_np.reshape(-1, k)
             ids_out[batch_idx] = ids_np[: batch_idx.size]
-            dists_out[batch_idx] = d_np[: batch_idx.size]
+            if return_dists:
+                d_np = np.asarray(d_b)
+                if B_g is not None:
+                    d_np = d_np.reshape(-1, k)
+                dists_out[batch_idx] = d_np[: batch_idx.size]
+            if len(out) == 3:                 # full path: certificate bit
+                s_np = np.asarray(out[2]).reshape(-1)
+                suspect_q.append(batch_idx[s_np[: batch_idx.size]])
+        if suspect_q:
+            sus = np.concatenate(suspect_q)
+            if sus.size:
+                self._rerun_suspects(
+                    sus, qs, ids_out, dists_out, scalars, k
+                )
         return ids_out, dists_out
+
+    def _rerun_suspects(self, sus, qs, ids_out, dists_out, scalars, k):
+        """BatchedEngine's ladder for the full-scan path: flagged queries
+        compacted into fresh batches, re-run at 2R bin depth, then through
+        the streaming top-k' scan (certified by construction). All full
+        scans run on cat_view (search funnels wide queries there)."""
+        from hvq_tpu.ops.pallas_scan import BIN
+
+        view = self.index.cat_view
+        varg = (view.Vp, view.C, view.T, view.d_norms, view.oid, self.tail_V)
+        deeper = (
+            min(2 * self.bin_top, BIN) if self.bin_top is not None else None
+        )
+        if deeper is not None and deeper <= self.bin_top:
+            deeper = None
+        B = self.query_batch
+        for s in range(0, sus.size, B):
+            sel = sus[s : s + B]
+            a = self._query_args(sel, qs)
+            still = np.ones(sel.size, bool)
+            if deeper is not None:
+                ids_b, d_b, s_b = self._jit_full(
+                    *varg, *map(jnp.asarray, a), *scalars,
+                    k=k, bin_top=deeper,
+                )
+                s_np = np.asarray(s_b)[: sel.size]
+                fixed = ~s_np
+                ids_out[sel[fixed]] = np.asarray(ids_b)[: sel.size][fixed]
+                if dists_out is not None:
+                    dists_out[sel[fixed]] = np.asarray(d_b)[: sel.size][
+                        fixed
+                    ]
+                still = s_np
+            if still.any():
+                ids_b, d_b = self._jit_stream(
+                    *varg, *map(jnp.asarray, a), *scalars, k=k
+                )
+                ids_out[sel[still]] = np.asarray(ids_b)[: sel.size][still]
+                if dists_out is not None:
+                    dists_out[sel[still]] = np.asarray(d_b)[: sel.size][
+                        still
+                    ]
 
     def _query_args(self, batch_idx, qs, B: int | None = None):
         """Padded (B, ...) host query arrays for one batch."""

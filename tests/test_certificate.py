@@ -124,6 +124,43 @@ def test_escalation_ladder_deeper_pass_suffices():
     assert "xla" not in impls, "streaming fallback should not be needed"
 
 
+def test_partitioned_full_path_certificate():
+    """PartitionedEngine's wide-query dense path carries the same
+    certificate. Adversarial layout IN VIEW ORDER: the hot rows share one
+    category, so the category-sorted view packs them into adjacent bins;
+    a type-0 query must flag and the ladder must restore exactness."""
+    from hvq_tpu.models.partitioned import PartitionedEngine
+
+    n, hot = 16384, 40
+    ds = generate_dataset(n, seed=5, categories=20)
+    qs = generate_queries(8, seed=6, categories=20, types=(0,))
+    rng = np.random.default_rng(7)
+    V = ds.V.copy()
+    C = ds.C.copy()
+    V[:hot] = qs.V[0][None, :] + 1e-3 * rng.standard_normal((hot, V.shape[1]))
+    # a category value no other row uses → the hot rows become their own
+    # contiguous partition in the category-sorted view (same bins)
+    C[:hot] = C.max() + 1.0
+    ds = Dataset(C=C, T=ds.T, V=V.astype(np.float32))
+
+    eng = PartitionedEngine(ds, query_batch=8)
+    assert eng.certified and eng.bin_top is not None and eng.bin_top < hot
+
+    calls = []
+    orig = eng._rerun_suspects
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    eng._rerun_suspects = spy
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert calls, "partitioned certificate should have flagged the hot bins"
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
 def test_random_layout_rarely_falls_back():
     """On reference-distribution (uniform) data the certificate should pass
     without a rerun: the fast path's throughput is preserved."""

@@ -528,6 +528,21 @@ def fused_packed_scan(
             f"bin_top*bins = {out_w} must be a multiple of 128 "
             "(Mosaic output block constraint); see kernel_bin_top"
         )
+    # Fail fast on configs that cannot fit v5e's 128 MB VMEM: the score
+    # tile, packed keys, and the double-buffered database tile coexist.
+    # (B=1024, Dt=16384 measured: Mosaic AOT ran 35 min then failed with
+    # "Used 145.15M of 128.00M vmem".)
+    vmem_est = (
+        2 * B * db_tile * 4          # fp32 scores + packed int32 keys
+        + 2 * db_tile * (d * 4 + 16)  # double-buffered V tile + C/T/dn/oid
+        + B * out_w * 4               # output block
+    )
+    if not interpret and vmem_est > 120 * 1024 * 1024:
+        raise ValueError(
+            f"fused_packed_scan config B={B}, db_tile={db_tile} needs "
+            f"~{vmem_est >> 20} MB VMEM (> 120 MB budget); reduce "
+            "db_tile or the query batch"
+        )
 
     col = lambda i, *_: (0, i)           # queries replicated across grid steps
     row = lambda i, *_: (i, 0)           # database tiles marching down rows

@@ -59,12 +59,17 @@ def main() -> None:
     baseline = float(os.environ.get("HVQ_BENCH_BASELINE", _baseline_qps(n)))
 
     clusters = int(os.environ.get("HVQ_BENCH_CLUSTERS", 0)) or None
+    # e.g. HVQ_BENCH_TYPES=1,3 → selective-predicate-only workload
+    types = tuple(
+        int(t) for t in os.environ.get("HVQ_BENCH_TYPES", "0,1,2,3").split(",")
+    )
 
     timer = PhaseTimer()
     with timer.phase("generate"):
         ds = generate_dataset(n, seed=0, categories=cats, clusters=clusters)
         qs = generate_queries(
-            q, seed=1, categories=cats, clusters=clusters, centers_seed=0
+            q, seed=1, categories=cats, clusters=clusters, centers_seed=0,
+            types=types,
         )
 
     engine_kwargs = {}
@@ -170,7 +175,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"exact_hybrid_knn_qps_D{n}_Q{q}",
+                "metric": f"exact_hybrid_knn_qps_D{n}_Q{q}"
+                + (
+                    "_types" + "".join(map(str, types))
+                    if types != (0, 1, 2, 3)
+                    else ""
+                ),
                 "value": round(qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / baseline, 2),

@@ -59,7 +59,12 @@ class PartitionedEngine:
         precision: str = "high",
         topk_strategy: str = "topk",
         index: PartitionedIndex | None = None,
-        route_buckets: tuple[int, ...] = (4096, 32768, 262144),
+        # Measured policy (experiments/route_buckets.py, medium set): a
+        # routed slice reads cap·512 B of HBM per QUERY, while the dense
+        # path amortizes the whole DB over the batch (~0.5 MB/query at
+        # B=1024) — a 262144 cap costs 128 MB/query and sinks the mixed
+        # workload 3347 → 8557 QPS when dropped. Caps stay ≲ 32k.
+        route_buckets: tuple[int, ...] = (4096, 32768),
         routed_batch: int | None = None,
         dispatch_group: int = 8,
         certified: bool = True,

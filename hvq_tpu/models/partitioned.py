@@ -112,9 +112,6 @@ class PartitionedEngine:
         # Routed scans cost ~µs per query: pack many into one dispatch so
         # the fixed host/relay round trip amortizes.
         self.routed_batch = routed_batch or 4 * query_batch
-        # Rows resident per routed scan step (bounds the stacked-slice
-        # memory to ~16 MB and sets the per-step query stride).
-        self.routed_slab = 32768
         self.dispatch_group = dispatch_group
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top")
@@ -146,73 +143,46 @@ class PartitionedEngine:
         construction (the index range is exact), so the in-slice mask only
         re-checks the range bounds, the sample-proportion limit over
         ORIGINAL ids, and (cheaply, for robustness) the predicate itself.
-
-        Each lax.scan step processes a STRIDE of queries (their slices
-        stacked, one batched GEMV, one batched top-k): the per-step fixed
-        cost (~50 µs/query measured when one query ran per step) amortizes
-        across the stride. The stride scales inversely with span_cap so
-        the resident slice stack stays ~32k rows (~16 MB).
         """
         active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
             qtype, v, l, r
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         n_pad, d = Vp_view.shape
-        B = starts.shape[0]
         kp = min(self.kprime, span_cap)
-        S = max(1, min(self.routed_slab // span_cap, B))
-        while B % S:
-            S -= 1
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, span_cap), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (span_cap,), 0)
         precision = self.precision
 
-        def grp(a):
-            return a.reshape(B // S, S, *a.shape[1:])
-
         def step(_, xs):
-            start, end, qv, ac_i, v_i, at_i, l_i, r_i = xs   # (S, ...)
+            start, end, qv, ac_i, v_i, at_i, l_i, r_i = xs
             start_c = jnp.clip(start, 0, n_pad - span_cap)
-            sl = lambda arr, i: jax.lax.dynamic_slice(
-                arr, (start_c[i],) + (0,) * (arr.ndim - 1),
-                (span_cap,) + arr.shape[1:],
-            )
-            rows = jnp.stack([sl(Vp_view, i) for i in range(S)])
-            Cr = jnp.stack([sl(C_view, i) for i in range(S)])
-            Tr = jnp.stack([sl(T_view, i) for i in range(S)])
-            dnr = jnp.stack([sl(dn_view, i) for i in range(S)])
-            oidr = jnp.stack([sl(oid_view, i) for i in range(S)])
+            rows = jax.lax.dynamic_slice(Vp_view, (start_c, 0), (span_cap, d))
+            Cr = jax.lax.dynamic_slice(C_view, (start_c,), (span_cap,))
+            Tr = jax.lax.dynamic_slice(T_view, (start_c,), (span_cap,))
+            dnr = jax.lax.dynamic_slice(dn_view, (start_c,), (span_cap,))
+            oidr = jax.lax.dynamic_slice(oid_view, (start_c,), (span_cap,))
             qd = jax.lax.dot_general(
                 rows.astype(jnp.float32), qv,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 precision=precision,
                 preferred_element_type=jnp.float32,
-            )                                            # (S, span_cap)
-            scores = dnr - 2.0 * qd
-            pos = start_c[:, None] + lane
-            ok = (pos >= start[:, None]) & (pos < end[:, None])
-            ok &= oidr < sn
-            ok &= jnp.logical_or(~ac_i[:, None], Cr == v_i[:, None])
-            ok &= jnp.logical_or(
-                ~at_i[:, None], (Tr >= l_i[:, None]) & (Tr <= r_i[:, None])
             )
+            scores = dnr - 2.0 * qd                      # (span_cap,)
+            pos = start_c + lane
+            ok = (pos >= start) & (pos < end) & (oidr < sn)
+            ok &= jnp.logical_or(~ac_i, Cr == v_i)
+            ok &= jnp.logical_or(~at_i, (Tr >= l_i) & (Tr <= r_i))
             scores = jnp.where(ok, scores, jnp.inf)
             top_neg, idx = jax.lax.top_k(-scores, kp)
-            return None, (
-                -top_neg,
-                jnp.take_along_axis(pos, idx, axis=1).astype(jnp.int32),
-            )
+            return None, (-top_neg, (pos[idx]).astype(jnp.int32))
 
         _, (scores, pos) = jax.lax.scan(
             step,
             None,
-            tuple(
-                grp(a)
-                for a in (starts, ends, qV, active_c, vv, active_t, ll, rr)
-            ),
+            (starts, ends, qV, active_c, vv, active_t, ll, rr),
         )
         return common.finalize_view(
-            scores.reshape(B, kp), pos.reshape(B, kp),
-            Vp_view, oid_view, tail_V, qb, n, k,
+            scores, pos, Vp_view, oid_view, tail_V, qb, n, k
         )
 
     def _search_full(

@@ -135,6 +135,68 @@ def pack_query_block(qV: np.ndarray, qtype, v, l, r) -> np.ndarray:
     return out
 
 
+def bundle_ids(ids, suspect, pack_ids: bool):
+    """One fetched int32 tensor per batch: [ids | certificate bit].
+
+    Ids pack two-per-lane when they fit 16 bits (n ≤ 65535 halves the
+    fetch); the suspect flag rides as a final column instead of its own
+    device array (each separate fetch costs a ~27 ms relay round trip).
+    Shared by the batched and sharded engines — the packing width and flag
+    encoding must stay in ONE place.
+    """
+    if pack_ids and ids.shape[-1] % 2 == 0:
+        ids = ids[..., 0::2] | (ids[..., 1::2] << 16)
+    return jnp.concatenate(
+        [ids, suspect.astype(jnp.int32)[..., None]], axis=-1
+    )
+
+
+def unbundle_ids(arr: np.ndarray, k: int, pack_ids: bool):
+    """Host-side inverse of :func:`bundle_ids`: (ids (..., k), suspect)."""
+    ids_np, suspect = arr[..., :-1], arr[..., -1].astype(bool)
+    if pack_ids and k % 2 == 0:
+        u = ids_np.astype(np.uint32)
+        out = np.empty((*ids_np.shape[:-1], k), np.uint32)
+        out[..., 0::2] = u & 0xFFFF
+        out[..., 1::2] = u >> 16
+        ids_np = out
+    return ids_np, suspect
+
+
+def rerun_suspect_ladder(
+    suspects, ids_raw, dists_out, B, kw, k, deeper, run
+):
+    """Compacted certificate-escalation ladder (batched + sharded engines).
+
+    Flagged queries are gathered into fresh batches (S scattered suspects
+    cost ceil(S/B) extra runs, not one per touched batch), re-run at the
+    ``deeper`` bin depth, and any still-suspect queries go through the
+    streaming exact path. ``run(sel, impl, bin_top)`` executes one batch of
+    the query indices ``sel`` and returns (bundle, dists) device arrays;
+    results scatter back into ``ids_raw``/``dists_out`` by index.
+    """
+    idx = np.nonzero(suspects)[0]
+    pad = (-len(idx)) % B
+    idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
+    for s in range(0, len(idxp), B):
+        sel = idxp[s : s + B]
+        still = np.ones(len(sel), bool)
+        if deeper is not None:
+            b_b, d_b = run(sel, "xla_packed", deeper)
+            b_np = np.asarray(b_b).reshape(B, kw)
+            fixed = b_np[:, -1] == 0
+            ids_raw[sel[fixed]] = b_np[fixed][:, :-1]
+            if dists_out is not None:
+                dists_out[sel[fixed]] = np.asarray(d_b).reshape(B, k)[fixed]
+            still = ~fixed
+        if still.any():
+            b_b, d_b = run(sel, "xla", None)
+            b_np = np.asarray(b_b).reshape(B, kw)
+            ids_raw[sel[still]] = b_np[still][:, :-1]
+            if dists_out is not None:
+                dists_out[sel[still]] = np.asarray(d_b).reshape(B, k)[still]
+
+
 def _default_scan_impl() -> str:
     # NOTE: the fused Pallas kernel (scan_impl="pallas") is the intended
     # default on TPU, but this build environment's axon relay hangs on any
@@ -347,27 +409,10 @@ class BatchedEngine:
         return self._bundle(f_ids, jnp.zeros((B,), bool)), f_d
 
     def _bundle(self, ids, suspect):
-        """One fetched int32 tensor per batch: [ids | certificate bit].
-
-        Ids pack two-per-lane when they fit 16 bits (n ≤ 65535 halves the
-        fetch); the suspect flag rides as a final column instead of its own
-        device array (each separate fetch costs a ~27 ms relay round trip).
-        """
-        if self._pack_ids and ids.shape[-1] % 2 == 0:
-            ids = ids[..., 0::2] | (ids[..., 1::2] << 16)
-        return jnp.concatenate(
-            [ids, suspect.astype(jnp.int32)[..., None]], axis=-1
-        )
+        return bundle_ids(ids, suspect, self._pack_ids)
 
     def _unbundle(self, arr: np.ndarray, k: int):
-        ids_np, suspect = arr[..., :-1], arr[..., -1].astype(bool)
-        if self._pack_ids and k % 2 == 0:
-            u = ids_np.astype(np.uint32)
-            out = np.empty((*ids_np.shape[:-1], k), np.uint32)
-            out[..., 0::2] = u & 0xFFFF
-            out[..., 1::2] = u >> 16
-            ids_np = out
-        return ids_np, suspect
+        return unbundle_ids(arr, k, self._pack_ids)
 
     def _search_group(self, Vp, Cf, Tf, dnf, Qblk_g, sn, n,
                       self_k: int, impl: str | None = None,
@@ -439,15 +484,11 @@ class BatchedEngine:
 
         ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
         if suspects.any():
+            # ids_raw is a view of bundle_raw: ladder writes land in place
             self._rerun_suspects(
                 Qpack, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
             )
-        ids_out, _ = self._unbundle(
-            np.concatenate(
-                [ids_raw, suspects.astype(np.int32)[:, None]], axis=1
-            ),
-            k,
-        )
+        ids_out, _ = self._unbundle(bundle_raw, k)
         return (
             ids_out[: qs.m].astype(np.uint32),
             dists_out[: qs.m] if return_dists else None,
@@ -465,7 +506,8 @@ class BatchedEngine:
         D=10⁶/R=3, ~6% at D=10⁷/R=2 (experiments/suspect_anatomy.py
         measured 31/10⁴ vs the model's 27) — almost all benign: an actual
         loss needs ≥ R+1 in one bin (~1e-5). Escalation ladder per
-        compacted batch (all programs lazily compiled):
+        compacted batch (see :func:`rerun_suspect_ladder`; all programs
+        lazily compiled):
 
         1. the packed scan again at 2× the bin depth — conditional
            re-flag P(X ≥ 2R | X ≥ R) ≲ 1e-7 on Poisson layouts, and the
@@ -480,33 +522,13 @@ class BatchedEngine:
             d = min(2 * self.bin_top, BIN)
             deeper = d if d > self.bin_top else None
         db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
-        idx = np.nonzero(suspects)[0]
-        pad = (-len(idx)) % B
-        idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
-        for s in range(0, len(idxp), B):
-            sel = idxp[s : s + B]
-            Q_b = jax.device_put(Qpack[sel])
-            still = np.ones(len(sel), bool)
-            if deeper is not None:
-                b_b, d_b = self._search_jit(
-                    *db_args, Q_b, sn, n_t,
-                    self_k=k, impl="xla_packed", bin_top=deeper,
-                )
-                b_np = np.asarray(b_b).reshape(B, kw)
-                fixed = b_np[:, -1] == 0
-                ids_raw[sel[fixed]] = b_np[fixed][:, :-1]
-                if dists_out is not None:
-                    dists_out[sel[fixed]] = np.asarray(d_b).reshape(B, k)[
-                        fixed
-                    ]
-                still = ~fixed
-            if still.any():
-                b_b, d_b = self._search_jit(
-                    *db_args, Q_b, sn, n_t, self_k=k, impl="xla",
-                )
-                b_np = np.asarray(b_b).reshape(B, kw)
-                ids_raw[sel[still]] = b_np[still][:, :-1]
-                if dists_out is not None:
-                    dists_out[sel[still]] = np.asarray(d_b).reshape(B, k)[
-                        still
-                    ]
+
+        def run(sel, impl, bin_top):
+            return self._search_jit(
+                *db_args, jax.device_put(Qpack[sel]), sn, n_t,
+                self_k=k, impl=impl, bin_top=bin_top,
+            )
+
+        rerun_suspect_ladder(
+            suspects, ids_raw, dists_out, B, kw, k, deeper, run
+        )

@@ -248,7 +248,13 @@ class PartitionedEngine:
             suspect = cert_min < t + slack
         else:
             suspect = jnp.zeros((qV.shape[0],), bool)
-        return f_ids, f_d, suspect
+        # [ids | certificate bit] as ONE fetched int32 tensor — a separate
+        # suspect fetch would cost ~27 ms of relay latency per dispatch
+        bundle = jnp.concatenate(
+            [f_ids.astype(jnp.int32), suspect.astype(jnp.int32)[:, None]],
+            axis=1,
+        )
+        return bundle, f_d
 
     def _search_stream(
         self,
@@ -381,13 +387,15 @@ class PartitionedEngine:
                         out = self._jit_full_group(
                             *varg, *args, *scalars, k=k
                         )
-                        pending.append((np.concatenate(batch_list), out, B))
+                        pending.append(
+                            (np.concatenate(batch_list), out, B, True)
+                        )
                     else:
                         a = self._query_args(batch_list[0], qs)
                         out = self._jit_full(
                             *varg, *map(jnp.asarray, a), *scalars, k=k
                         )
-                        pending.append((batch_list[0], out, None))
+                        pending.append((batch_list[0], out, None, True))
                     s += G
             # ROUTED buckets: per-query contiguous slices, wide batches
             for bi, cap in enumerate(self.route_buckets):
@@ -406,22 +414,19 @@ class PartitionedEngine:
                         *map(jnp.asarray, a), *scalars,
                         k=k, span_cap=cap,
                     )
-                    pending.append((batch_idx, out, None))
+                    pending.append((batch_idx, out, None, False))
         suspect_q = []
-        for batch_idx, out, B_g in pending:
-            ids_b, d_b = out[0], out[1]
-            ids_np = np.asarray(ids_b)
-            if B_g is not None:               # grouped: (G, B, k) → flat
-                ids_np = ids_np.reshape(-1, k)
-            ids_out[batch_idx] = ids_np[: batch_idx.size]
+        for batch_idx, (ids_b, d_b), B_g, is_full in pending:
+            # full-path tensors carry the certificate bit as a last column
+            w = k + 1 if is_full else k
+            ids_np = np.asarray(ids_b).reshape(-1, w)[: batch_idx.size]
+            if is_full:
+                suspect_q.append(batch_idx[ids_np[:, -1].astype(bool)])
+                ids_np = ids_np[:, :-1]
+            ids_out[batch_idx] = ids_np
             if return_dists:
-                d_np = np.asarray(d_b)
-                if B_g is not None:
-                    d_np = d_np.reshape(-1, k)
+                d_np = np.asarray(d_b).reshape(-1, k)
                 dists_out[batch_idx] = d_np[: batch_idx.size]
-            if len(out) == 3:                 # full path: certificate bit
-                s_np = np.asarray(out[2]).reshape(-1)
-                suspect_q.append(batch_idx[s_np[: batch_idx.size]])
         if suspect_q:
             sus = np.concatenate(suspect_q)
             if sus.size:
@@ -450,18 +455,18 @@ class PartitionedEngine:
             a = self._query_args(sel, qs)
             still = np.ones(sel.size, bool)
             if deeper is not None:
-                ids_b, d_b, s_b = self._jit_full(
+                b_b, d_b = self._jit_full(
                     *varg, *map(jnp.asarray, a), *scalars,
                     k=k, bin_top=deeper,
                 )
-                s_np = np.asarray(s_b)[: sel.size]
-                fixed = ~s_np
-                ids_out[sel[fixed]] = np.asarray(ids_b)[: sel.size][fixed]
+                b_np = np.asarray(b_b)[: sel.size]
+                fixed = b_np[:, -1] == 0
+                ids_out[sel[fixed]] = b_np[fixed][:, :-1]
                 if dists_out is not None:
                     dists_out[sel[fixed]] = np.asarray(d_b)[: sel.size][
                         fixed
                     ]
-                still = s_np
+                still = ~fixed
             if still.any():
                 ids_b, d_b = self._jit_stream(
                     *varg, *map(jnp.asarray, a), *scalars, k=k

@@ -160,21 +160,14 @@ class ShardedEngine:
         )
 
     def _bundle(self, ids, suspect):
-        if self._pack_ids and ids.shape[-1] % 2 == 0:
-            ids = ids[..., 0::2] | (ids[..., 1::2] << 16)
-        return jnp.concatenate(
-            [ids, suspect.astype(jnp.int32)[..., None]], axis=-1
-        )
+        from hvq_tpu.models.batched import bundle_ids
+
+        return bundle_ids(ids, suspect, self._pack_ids)
 
     def _unbundle_ids(self, arr: np.ndarray, k: int):
-        ids_np, suspect = arr[..., :-1], arr[..., -1].astype(bool)
-        if self._pack_ids and k % 2 == 0:
-            u = ids_np.astype(np.uint32)
-            out = np.empty((*ids_np.shape[:-1], k), np.uint32)
-            out[..., 0::2] = u & 0xFFFF
-            out[..., 1::2] = u >> 16
-            ids_np = out
-        return ids_np, suspect
+        from hvq_tpu.models.batched import unbundle_ids
+
+        return unbundle_ids(arr, k, self._pack_ids)
 
     def _search_group(self, Vp, C, T, dn, tail_V, Qblk_g, sn, n, k,
                       impl=None, bin_top=None):
@@ -384,15 +377,11 @@ class ShardedEngine:
 
         ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
         if suspects.any():
+            # ids_raw is a view of bundle_raw: ladder writes land in place
             self._rerun_suspects(
                 Qpack, qrep2, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
             )
-        ids_out, _ = self._unbundle_ids(
-            np.concatenate(
-                [ids_raw, suspects.astype(np.int32)[:, None]], axis=1
-            ),
-            k,
-        )
+        ids_out, _ = self._unbundle_ids(bundle_raw, k)
         return (
             ids_out[: qs.m].astype(np.uint32),
             dists_out[: qs.m] if return_dists else None,
@@ -401,9 +390,11 @@ class ShardedEngine:
     def _rerun_suspects(
         self, Qpack, qrep2, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
     ):
-        """Same ladder as BatchedEngine._rerun_suspects: suspects compacted
-        into fresh batches, deeper bin depth first, then the streaming
-        exact path (all lazily compiled)."""
+        """BatchedEngine's compacted escalation ladder
+        (models.batched.rerun_suspect_ladder), with uploads sharded over
+        the mesh's "q" axis."""
+        from hvq_tpu.models.batched import rerun_suspect_ladder
+
         deeper = None
         if self.scan_impl in ("pallas", "xla_packed", "xla_deferred"):
             d = min(2 * self.bin_top, BIN)
@@ -411,33 +402,13 @@ class ShardedEngine:
         db_args = (
             self.db.Vp, self.db.C, self.db.T, self.db.d_norms, self.tail_V,
         )
-        idx = np.nonzero(suspects)[0]
-        pad = (-len(idx)) % B
-        idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
-        for s in range(0, len(idxp), B):
-            sel = idxp[s : s + B]
-            Q_b = jax.device_put(Qpack[sel], qrep2)
-            still = np.ones(len(sel), bool)
-            if deeper is not None:
-                b_b, d_b = self._search_jit(
-                    *db_args, Q_b, sn, n_t,
-                    k=k, impl="xla_packed", bin_top=deeper,
-                )
-                b_np = np.asarray(b_b).reshape(B, kw)
-                fixed = b_np[:, -1] == 0
-                ids_raw[sel[fixed]] = b_np[fixed][:, :-1]
-                if dists_out is not None:
-                    dists_out[sel[fixed]] = np.asarray(d_b).reshape(B, k)[
-                        fixed
-                    ]
-                still = ~fixed
-            if still.any():
-                b_b, d_b = self._search_jit(
-                    *db_args, Q_b, sn, n_t, k=k, impl="xla",
-                )
-                b_np = np.asarray(b_b).reshape(B, kw)
-                ids_raw[sel[still]] = b_np[still][:, :-1]
-                if dists_out is not None:
-                    dists_out[sel[still]] = np.asarray(d_b).reshape(B, k)[
-                        still
-                    ]
+
+        def run(sel, impl, bin_top):
+            return self._search_jit(
+                *db_args, jax.device_put(Qpack[sel], qrep2), sn, n_t,
+                k=k, impl=impl, bin_top=bin_top,
+            )
+
+        rerun_suspect_ladder(
+            suspects, ids_raw, dists_out, B, kw, k, deeper, run
+        )

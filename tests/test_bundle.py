@@ -1,0 +1,94 @@
+"""Unit tests for the shared certificate-bundle helpers
+(models.batched.bundle_ids / unbundle_ids / rerun_suspect_ladder)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvq_tpu.models.batched import (
+    bundle_ids,
+    dispatch_plan,
+    rerun_suspect_ladder,
+    unbundle_ids,
+)
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_bundle_round_trip(pack):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 0xFFFF, size=(7, 100), dtype=np.int64)
+    suspect = rng.random(7) < 0.4
+    b = np.asarray(
+        bundle_ids(jnp.asarray(ids, jnp.int32), jnp.asarray(suspect), pack)
+    )
+    assert b.shape == (7, (50 if pack else 100) + 1)
+    out_ids, out_s = unbundle_ids(b, 100, pack)
+    assert (out_ids.astype(np.uint32) == ids.astype(np.uint32)).all()
+    assert (out_s == suspect).all()
+
+
+def test_bundle_odd_k_never_packs():
+    ids = jnp.arange(33, dtype=jnp.int32).reshape(3, 11)
+    b = np.asarray(bundle_ids(ids, jnp.zeros(3, bool), True))
+    assert b.shape == (3, 12)     # k odd → unpacked even with pack_ids
+    out_ids, _ = unbundle_ids(b, 11, True)
+    assert (out_ids == np.asarray(ids)).all()
+
+
+def test_rerun_ladder_compacts_and_scatters():
+    """31 scattered suspects over 4096 queries must cost exactly ONE
+    deeper run (B=1024), and results must scatter to the right rows."""
+    B, k, kw = 1024, 4, 5
+    m = 4096
+    rng = np.random.default_rng(1)
+    suspects = np.zeros(m, bool)
+    flagged = rng.choice(m, size=31, replace=False)
+    suspects[flagged] = True
+    ids_raw = np.zeros((m, kw - 1), np.int32)
+    dists_out = np.zeros((m, k), np.float32)
+    calls = []
+
+    def run(sel, impl, bin_top):
+        calls.append((impl, bin_top, len(sel)))
+        # deeper pass fixes every query: suspect column 0, ids = row index
+        bundle = np.zeros((len(sel), kw), np.int32)
+        bundle[:, : kw - 1] = sel[:, None].astype(np.int32)
+        return jnp.asarray(bundle), jnp.full((len(sel), k), 7.0)
+
+    rerun_suspect_ladder(
+        suspects, ids_raw, dists_out, B, kw, k, deeper=6, run=run
+    )
+    assert calls == [("xla_packed", 6, B)]       # one compacted batch
+    assert (ids_raw[flagged, 0] == flagged).all()
+    assert (dists_out[flagged] == 7.0).all()
+    untouched = ~suspects
+    assert (ids_raw[untouched] == 0).all()
+
+
+def test_rerun_ladder_escalates_still_suspect():
+    B, k, kw = 8, 2, 3
+    suspects = np.array([True] + [False] * 7)
+    ids_raw = np.zeros((8, kw - 1), np.int32)
+    calls = []
+
+    def run(sel, impl, bin_top):
+        calls.append(impl)
+        bundle = np.zeros((len(sel), kw), np.int32)
+        if impl == "xla_packed":
+            bundle[:, -1] = 1                    # deeper pass still suspect
+        else:
+            bundle[:, : kw - 1] = 42
+        return jnp.asarray(bundle), jnp.zeros((len(sel), k))
+
+    rerun_suspect_ladder(
+        suspects, ids_raw, None, B, kw, k, deeper=4, run=run
+    )
+    assert calls == ["xla_packed", "xla"]
+    assert (ids_raw[0] == 42).all()
+
+
+def test_dispatch_plan_shapes():
+    assert dispatch_plan(10, 8) == [8, 2]
+    assert dispatch_plan(3, 8) == [2, 1]
+    assert dispatch_plan(5, 0) == [5]
+    assert dispatch_plan(0, 8) == []

@@ -298,6 +298,10 @@ class BatchedEngine:
         )
         # Two ids per int32 lane when they fit 16 bits (halves the id fetch).
         self._pack_ids = self.db.n <= 0xFFFF
+        # Candidate streams at least this wide go through the 2nd-level
+        # packed reduce before the final top_k (tests lower it to force
+        # the path on small DBs).
+        self._l2_min_w = 8192
         self._search_jit = jax.jit(
             self._search_batch, static_argnames=("self_k", "impl", "bin_top")
         )
@@ -362,9 +366,18 @@ class BatchedEngine:
                 )
             W = out_s.shape[1]
             kp = min(self.kprime, W)
-            top_neg, idx = jax.lax.top_k(-out_s, kp)
-            scores = -top_neg                       # ascending quantized
-            ids = jnp.take_along_axis(out_i, idx, axis=1)
+            worst2 = None
+            if W >= self._l2_min_w:
+                # 2nd-level packed reduce: the candidate top_k is the tail's
+                # main cost at wide streams (experiments/topk_tail.py);
+                # worst2 joins the certificate below
+                from hvq_tpu.ops.topk import binned_stream_topk
+
+                scores, ids, worst2 = binned_stream_topk(out_s, out_i, kp)
+            else:
+                top_neg, idx = jax.lax.top_k(-out_s, kp)
+                scores = -top_neg                   # ascending quantized
+                ids = jnp.take_along_axis(out_i, idx, axis=1)
             f_ids, f_d = common.finalize(
                 scores, ids, Vp, qb, n, self_k, tail_V=self.tail_V
             )
@@ -383,6 +396,8 @@ class BatchedEngine:
                     out_s, nt, bin_top, Dt // BIN
                 )                                    # (B, nt·bins)
                 suspect = jnp.min(worst, axis=1) < thr
+                if worst2 is not None:
+                    suspect |= worst2 < thr
                 if kp < W:
                     # the k'-cut also discards candidates; its boundary must
                     # clear t the same way

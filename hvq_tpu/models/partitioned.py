@@ -112,6 +112,7 @@ class PartitionedEngine:
         # Routed scans cost ~µs per query: pack many into one dispatch so
         # the fixed host/relay round trip amortizes.
         self.routed_batch = routed_batch or 4 * query_batch
+        self._l2_min_w = 8192      # see BatchedEngine._l2_min_w
         self.dispatch_group = dispatch_group
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top")
@@ -222,9 +223,15 @@ class PartitionedEngine:
         )
         W = out_s.shape[1]
         kp = min(self.kprime, W)
-        top_neg, idx = jax.lax.top_k(-out_s, kp)
-        scores = -top_neg
-        cand_pos = jnp.take_along_axis(out_i, idx, axis=1)
+        worst2 = None
+        if W >= self._l2_min_w:
+            from hvq_tpu.ops.topk import binned_stream_topk
+
+            scores, cand_pos, worst2 = binned_stream_topk(out_s, out_i, kp)
+        else:
+            top_neg, idx = jax.lax.top_k(-out_s, kp)
+            scores = -top_neg
+            cand_pos = jnp.take_along_axis(out_i, idx, axis=1)
         f_ids, f_d = common.finalize_view(
             scores, cand_pos, Vp_view, oid_view, tail_V, qb, n, k
         )
@@ -236,6 +243,8 @@ class PartitionedEngine:
             cert_min = jnp.min(
                 last_round_dists(out_s, nt, bin_top, db_tile // BIN), axis=1
             )
+            if worst2 is not None:
+                cert_min = jnp.minimum(cert_min, worst2)
             if kp < W:
                 cert_min = jnp.minimum(cert_min, scores[:, kp - 1])
             t = f_d[:, k - 1]

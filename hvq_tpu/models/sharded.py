@@ -152,6 +152,7 @@ class ShardedEngine:
             float(jnp.max(self.db.d_norms)) if self.certified else 0.0
         )
         self._pack_ids = self.db.n <= 0xFFFF
+        self._l2_min_w = 8192      # see BatchedEngine._l2_min_w
         self._search_jit = jax.jit(
             self._search_batch, static_argnames=("k", "impl", "bin_top")
         )
@@ -251,9 +252,17 @@ class ShardedEngine:
                     )
                 W = out_s.shape[1]
                 kp = min(kprime, W)
-                top_neg, idx = jax.lax.top_k(-out_s, kp)
-                scores = -top_neg
-                gids = jnp.take_along_axis(out_i, idx, axis=1)
+                worst2 = None
+                if W >= self._l2_min_w:
+                    from hvq_tpu.ops.topk import binned_stream_topk
+
+                    scores, gids, worst2 = binned_stream_topk(
+                        out_s, out_i, kp
+                    )
+                else:
+                    top_neg, idx = jax.lax.top_k(-out_s, kp)
+                    scores = -top_neg
+                    gids = jnp.take_along_axis(out_i, idx, axis=1)
                 if self.certified:
                     # per-shard saturation level; pmin over "d" below makes
                     # it a certificate for the whole sharded scan
@@ -261,6 +270,8 @@ class ShardedEngine:
                         out_s, nt, bin_top, db_tile // BIN
                     )
                     cert_min = jnp.min(worst, axis=1)
+                    if worst2 is not None:
+                        cert_min = jnp.minimum(cert_min, worst2)
                     if kp < W:
                         cert_min = jnp.minimum(cert_min, scores[:, kp - 1])
             else:

@@ -161,6 +161,30 @@ def test_partitioned_full_path_certificate():
     assert recall_at_k(ids, oids, dists, odists) == 1.0
 
 
+def test_level2_reduce_exact_with_certificate():
+    """Force the 2nd-level candidate reduce (engines gate it at wide
+    streams) on a small DB: results must stay oracle-exact, and on the
+    adversarial concentrated layout the level-2 certificate must flag."""
+    ds = generate_dataset(16384, seed=13, categories=20)
+    qs = generate_queries(32, seed=14, categories=20)
+    eng = BatchedEngine(ds, query_batch=32, scan_impl="xla_packed")
+    eng._l2_min_w = 1              # always run level 2
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+
+    # adversarial: hot rows share level-1 bins -> their stream columns are
+    # adjacent too; the ladder must still restore exactness
+    ds2, qs2 = _adversarial_pair()
+    eng2 = BatchedEngine(ds2, query_batch=8, scan_impl="xla_packed")
+    eng2._l2_min_w = 1
+    oids2, odists2 = search_oracle(ds2, qs2)
+    ids2, dists2 = eng2.search(qs2)
+    assert recall_at_k(ids2, oids2, dists2, odists2) == 1.0
+    assert_results_match(ds2, qs2, ids2, dists2, oids2, odists2)
+
+
 def test_random_layout_rarely_falls_back():
     """On reference-distribution (uniform) data the certificate should pass
     without a rerun: the fast path's throughput is preserved."""

@@ -303,10 +303,12 @@ class BatchedEngine:
         # the path on small DBs).
         self._l2_min_w = 8192
         self._search_jit = jax.jit(
-            self._search_batch, static_argnames=("self_k", "impl", "bin_top")
+            self._search_batch,
+            static_argnames=("self_k", "impl", "bin_top", "level2"),
         )
         self._search_group_jit = jax.jit(
-            self._search_group, static_argnames=("self_k", "impl", "bin_top")
+            self._search_group,
+            static_argnames=("self_k", "impl", "bin_top", "level2"),
         )
 
     # --- jitted core -----------------------------------------------------
@@ -318,6 +320,7 @@ class BatchedEngine:
         self_k: int,
         impl: str | None = None,
         bin_top: int | None = None,
+        level2: bool = True,
     ):
         from hvq_tpu.ops import masks as mask_ops
 
@@ -367,13 +370,26 @@ class BatchedEngine:
             W = out_s.shape[1]
             kp = min(self.kprime, W)
             worst2 = None
-            if W >= self._l2_min_w:
+            if level2 and W >= self._l2_min_w:
                 # 2nd-level packed reduce: the candidate top_k is the tail's
                 # main cost at wide streams (experiments/topk_tail.py);
-                # worst2 joins the certificate below
+                # worst2 joins the certificate below. The stream transposes
+                # to (bin-slot, tile) order first so each level-2 bin
+                # samples ACROSS tiles — tile-major order concentrates one
+                # tile's near-ties into one bin and trips the certificate
+                # on dense neighborhoods (measured: a single such query per
+                # 10⁴ forces a streaming rerun). Reruns pass level2=False:
+                # one batch's plain top_k is cheap and certifies harder.
                 from hvq_tpu.ops.topk import binned_stream_topk
 
-                scores, ids, worst2 = binned_stream_topk(out_s, out_i, kp)
+                rb = W // nt
+                out_s2 = out_s.reshape(B, nt, rb).swapaxes(1, 2).reshape(
+                    B, W
+                )
+                out_i2 = out_i.reshape(B, nt, rb).swapaxes(1, 2).reshape(
+                    B, W
+                )
+                scores, ids, worst2 = binned_stream_topk(out_s2, out_i2, kp)
             else:
                 top_neg, idx = jax.lax.top_k(-out_s, kp)
                 scores = -top_neg                   # ascending quantized
@@ -431,13 +447,13 @@ class BatchedEngine:
 
     def _search_group(self, Vp, Cf, Tf, dnf, Qblk_g, sn, n,
                       self_k: int, impl: str | None = None,
-                      bin_top: int | None = None):
+                      bin_top: int | None = None, level2: bool = True):
         """G query batches in ONE dispatch (amortizes host→device latency,
         which measures ~75 ms per call through the axon relay)."""
 
         def step(_, Qblk):
             return None, self._search_batch(
-                Vp, Cf, Tf, dnf, Qblk, sn, n, self_k, impl, bin_top
+                Vp, Cf, Tf, dnf, Qblk, sn, n, self_k, impl, bin_top, level2
             )
 
         _, (bundle, dists) = jax.lax.scan(step, None, Qblk_g)
@@ -541,7 +557,7 @@ class BatchedEngine:
         def run(sel, impl, bin_top):
             return self._search_jit(
                 *db_args, jax.device_put(Qpack[sel]), sn, n_t,
-                self_k=k, impl=impl, bin_top=bin_top,
+                self_k=k, impl=impl, bin_top=bin_top, level2=False,
             )
 
         rerun_suspect_ladder(

@@ -115,10 +115,11 @@ class PartitionedEngine:
         self._l2_min_w = 8192      # see BatchedEngine._l2_min_w
         self.dispatch_group = dispatch_group
         self._jit_full = jax.jit(
-            self._search_full, static_argnames=("k", "bin_top")
+            self._search_full, static_argnames=("k", "bin_top", "level2")
         )
         self._jit_full_group = jax.jit(
-            self._search_full_group, static_argnames=("k", "bin_top")
+            self._search_full_group,
+            static_argnames=("k", "bin_top", "level2"),
         )
         self._jit_routed = jax.jit(
             self._search_routed, static_argnames=("k", "span_cap")
@@ -194,6 +195,7 @@ class PartitionedEngine:
         sn, n,
         k: int,
         bin_top: int | None = None,
+        level2: bool = True,
     ):
         from hvq_tpu.models.batched import (
             _CERT_ABS,
@@ -223,11 +225,23 @@ class PartitionedEngine:
         )
         W = out_s.shape[1]
         kp = min(self.kprime, W)
+        nt_v = Vp_view.shape[0] // db_tile
         worst2 = None
-        if W >= self._l2_min_w:
+        if level2 and W >= self._l2_min_w:
+            # transposed to (bin-slot, tile) order -- see BatchedEngine
             from hvq_tpu.ops.topk import binned_stream_topk
 
-            scores, cand_pos, worst2 = binned_stream_topk(out_s, out_i, kp)
+            rb = W // nt_v
+            Bq = out_s.shape[0]
+            out_s2 = out_s.reshape(Bq, nt_v, rb).swapaxes(1, 2).reshape(
+                Bq, W
+            )
+            out_i2 = out_i.reshape(Bq, nt_v, rb).swapaxes(1, 2).reshape(
+                Bq, W
+            )
+            scores, cand_pos, worst2 = binned_stream_topk(
+                out_s2, out_i2, kp
+            )
         else:
             top_neg, idx = jax.lax.top_k(-out_s, kp)
             scores = -top_neg
@@ -239,9 +253,9 @@ class PartitionedEngine:
             # Same construction as BatchedEngine (models/batched.py
             # docstring): per-bin saturation minima + the k'-cut boundary
             # vs the k-th final distance plus fp slack.
-            nt = Vp_view.shape[0] // db_tile
             cert_min = jnp.min(
-                last_round_dists(out_s, nt, bin_top, db_tile // BIN), axis=1
+                last_round_dists(out_s, nt_v, bin_top, db_tile // BIN),
+                axis=1,
             )
             if worst2 is not None:
                 cert_min = jnp.minimum(cert_min, worst2)
@@ -305,6 +319,7 @@ class PartitionedEngine:
         sn, n,
         k: int,
         bin_top: int | None = None,
+        level2: bool = True,
     ):
         """G full-scan batches in ONE dispatch (fixed-cost amortization)."""
 
@@ -466,7 +481,7 @@ class PartitionedEngine:
             if deeper is not None:
                 b_b, d_b = self._jit_full(
                     *varg, *map(jnp.asarray, a), *scalars,
-                    k=k, bin_top=deeper,
+                    k=k, bin_top=deeper, level2=False,
                 )
                 b_np = np.asarray(b_b)[: sel.size]
                 fixed = b_np[:, -1] == 0

@@ -154,10 +154,12 @@ class ShardedEngine:
         self._pack_ids = self.db.n <= 0xFFFF
         self._l2_min_w = 8192      # see BatchedEngine._l2_min_w
         self._search_jit = jax.jit(
-            self._search_batch, static_argnames=("k", "impl", "bin_top")
+            self._search_batch,
+            static_argnames=("k", "impl", "bin_top", "level2"),
         )
         self._search_group_jit = jax.jit(
-            self._search_group, static_argnames=("k", "impl", "bin_top")
+            self._search_group,
+            static_argnames=("k", "impl", "bin_top", "level2"),
         )
 
     def _bundle(self, ids, suspect):
@@ -171,12 +173,12 @@ class ShardedEngine:
         return unbundle_ids(arr, k, self._pack_ids)
 
     def _search_group(self, Vp, C, T, dn, tail_V, Qblk_g, sn, n, k,
-                      impl=None, bin_top=None):
+                      impl=None, bin_top=None, level2=True):
         """G query batches per device dispatch (latency amortization)."""
 
         def step(_, Qblk):
             return None, self._search_batch(
-                Vp, C, T, dn, tail_V, Qblk, sn, n, k, impl, bin_top
+                Vp, C, T, dn, tail_V, Qblk, sn, n, k, impl, bin_top, level2
             )
 
         _, out = jax.lax.scan(step, None, Qblk_g)
@@ -184,7 +186,7 @@ class ShardedEngine:
 
     # --- jitted core -----------------------------------------------------
     def _search_batch(self, Vp, C, T, dn, tail_V, Qblk, sn, n, k,
-                      impl=None, bin_top=None):
+                      impl=None, bin_top=None, level2=True):
         db_tile = self.db.db_tile
         kprime = self.kprime
         precision = self.precision
@@ -253,11 +255,18 @@ class ShardedEngine:
                 W = out_s.shape[1]
                 kp = min(kprime, W)
                 worst2 = None
-                if W >= self._l2_min_w:
+                if level2 and W >= self._l2_min_w:
                     from hvq_tpu.ops.topk import binned_stream_topk
 
+                    rb = W // nt
+                    out_s2 = out_s.reshape(Bl, nt, rb).swapaxes(
+                        1, 2
+                    ).reshape(Bl, W)
+                    out_i2 = out_i.reshape(Bl, nt, rb).swapaxes(
+                        1, 2
+                    ).reshape(Bl, W)
                     scores, gids, worst2 = binned_stream_topk(
-                        out_s, out_i, kp
+                        out_s2, out_i2, kp
                     )
                 else:
                     top_neg, idx = jax.lax.top_k(-out_s, kp)
@@ -417,7 +426,7 @@ class ShardedEngine:
         def run(sel, impl, bin_top):
             return self._search_jit(
                 *db_args, jax.device_put(Qpack[sel], qrep2), sn, n_t,
-                k=k, impl=impl, bin_top=bin_top,
+                k=k, impl=impl, bin_top=bin_top, level2=False,
             )
 
         rerun_suspect_ladder(

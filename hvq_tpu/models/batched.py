@@ -299,9 +299,11 @@ class BatchedEngine:
         # Two ids per int32 lane when they fit 16 bits (halves the id fetch).
         self._pack_ids = self.db.n <= 0xFFFF
         # Candidate streams at least this wide go through the 2nd-level
-        # packed reduce before the final top_k (tests lower it to force
-        # the path on small DBs).
-        self._l2_min_w = 8192
+        # packed reduce before the final top_k. Measured: net-negative at
+        # the medium set's W=23616 (the reduce+transpose costs what the
+        # narrower top_k saves) but +12% end-to-end at the large set's
+        # W=156288. Tests lower it to force the path on small DBs.
+        self._l2_min_w = 65536
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("self_k", "impl", "bin_top", "level2"),

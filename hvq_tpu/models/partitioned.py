@@ -112,7 +112,7 @@ class PartitionedEngine:
         # Routed scans cost ~µs per query: pack many into one dispatch so
         # the fixed host/relay round trip amortizes.
         self.routed_batch = routed_batch or 4 * query_batch
-        self._l2_min_w = 8192      # see BatchedEngine._l2_min_w
+        self._l2_min_w = 65536      # see BatchedEngine._l2_min_w
         self.dispatch_group = dispatch_group
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top", "level2")

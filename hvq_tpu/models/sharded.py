@@ -152,7 +152,7 @@ class ShardedEngine:
             float(jnp.max(self.db.d_norms)) if self.certified else 0.0
         )
         self._pack_ids = self.db.n <= 0xFFFF
-        self._l2_min_w = 8192      # see BatchedEngine._l2_min_w
+        self._l2_min_w = 65536      # see BatchedEngine._l2_min_w
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("k", "impl", "bin_top", "level2"),

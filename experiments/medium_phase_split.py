@@ -58,7 +58,9 @@ def main():
 
         from hvq_tpu.models.batched import dispatch_plan
 
-        kw = (100 // 2 if eng._pack_ids else 100) + 1
+        from hvq_tpu.models.batched import packed_id_width
+
+        kw = packed_id_width(100, eng._id_mode) + 1
         pending = []
         s = 0
         for G in dispatch_plan(m_pad // B, eng.dispatch_group):

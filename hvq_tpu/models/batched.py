@@ -135,32 +135,73 @@ def pack_query_block(qV: np.ndarray, qtype, v, l, r) -> np.ndarray:
     return out
 
 
-def bundle_ids(ids, suspect, pack_ids: bool):
-    """One fetched int32 tensor per batch: [ids | certificate bit].
+def id_pack_mode(n: int, k: int) -> str:
+    """Fetch packing for result ids: "16" (2 ids/lane, n ≤ 65535),
+    "24" (4 ids per 3 lanes, n ≤ 2²⁴, k % 4 == 0 — the 10⁷-row sets), or
+    "none"."""
+    if n <= 0xFFFF and k % 2 == 0:
+        return "16"
+    if n <= 0xFFFFFF and k % 4 == 0:
+        return "24"
+    return "none"
 
-    Ids pack two-per-lane when they fit 16 bits (n ≤ 65535 halves the
-    fetch); the suspect flag rides as a final column instead of its own
-    device array (each separate fetch costs a ~27 ms relay round trip).
-    Shared by the batched and sharded engines — the packing width and flag
-    encoding must stay in ONE place.
+
+def bundle_ids(ids, suspect, pack_mode: str):
+    """One fetched int32 tensor per batch: [packed ids | certificate bit].
+
+    Ids pack two-per-lane at 16 bits (halves the fetch) or four-per-three-
+    lanes at 24 bits (−25%, the D=10⁷ sets — the id fetch is ~11% of the
+    large-set wall); the suspect flag rides as a final column instead of
+    its own device array (each separate fetch costs a ~27 ms relay round
+    trip). Shared by the batched and sharded engines — the packing scheme
+    must stay in ONE place (inverse: :func:`unbundle_ids`).
     """
-    if pack_ids and ids.shape[-1] % 2 == 0:
+    if pack_mode == "16" and ids.shape[-1] % 2 == 0:
         ids = ids[..., 0::2] | (ids[..., 1::2] << 16)
+    elif pack_mode == "24" and ids.shape[-1] % 4 == 0:
+        i0, i1, i2, i3 = (ids[..., j::4] for j in range(4))
+        ids = jnp.concatenate(
+            [
+                i0 | (i1 << 24),
+                ((i1 >> 8) & 0xFFFF) | (i2 << 16),
+                ((i2 >> 16) & 0xFF) | (i3 << 8),
+            ],
+            axis=-1,
+        )
     return jnp.concatenate(
         [ids, suspect.astype(jnp.int32)[..., None]], axis=-1
     )
 
 
-def unbundle_ids(arr: np.ndarray, k: int, pack_ids: bool):
+def unbundle_ids(arr: np.ndarray, k: int, pack_mode: str):
     """Host-side inverse of :func:`bundle_ids`: (ids (..., k), suspect)."""
     ids_np, suspect = arr[..., :-1], arr[..., -1].astype(bool)
-    if pack_ids and k % 2 == 0:
+    if pack_mode == "16" and k % 2 == 0:
         u = ids_np.astype(np.uint32)
         out = np.empty((*ids_np.shape[:-1], k), np.uint32)
         out[..., 0::2] = u & 0xFFFF
         out[..., 1::2] = u >> 16
         ids_np = out
+    elif pack_mode == "24" and k % 4 == 0:
+        u = ids_np.astype(np.uint32)
+        g = k // 4
+        w0, w1, w2 = u[..., :g], u[..., g : 2 * g], u[..., 2 * g :]
+        out = np.empty((*ids_np.shape[:-1], k), np.uint32)
+        out[..., 0::4] = w0 & 0xFFFFFF
+        out[..., 1::4] = (w0 >> 24) | ((w1 & 0xFFFF) << 8)
+        out[..., 2::4] = (w1 >> 16) | ((w2 & 0xFF) << 16)
+        out[..., 3::4] = w2 >> 8
+        ids_np = out
     return ids_np, suspect
+
+
+def packed_id_width(k: int, pack_mode: str) -> int:
+    """Lane count of the packed id block (excluding the certificate bit)."""
+    if pack_mode == "16" and k % 2 == 0:
+        return k // 2
+    if pack_mode == "24" and k % 4 == 0:
+        return 3 * (k // 4)
+    return k
 
 
 def rerun_suspect_ladder(
@@ -297,7 +338,7 @@ class BatchedEngine:
             float(jnp.max(self.db.d_norms)) if self.certified else 0.0
         )
         # Two ids per int32 lane when they fit 16 bits (halves the id fetch).
-        self._pack_ids = self.db.n <= 0xFFFF
+        self._id_mode = id_pack_mode(self.db.n, _c.K_DEFAULT)
         # Candidate streams at least this wide go through the 2nd-level
         # packed reduce before the final top_k. Measured: net-negative at
         # the medium set's W=23616 (the reduce+transpose costs what the
@@ -442,10 +483,10 @@ class BatchedEngine:
         return self._bundle(f_ids, jnp.zeros((B,), bool)), f_d
 
     def _bundle(self, ids, suspect):
-        return bundle_ids(ids, suspect, self._pack_ids)
+        return bundle_ids(ids, suspect, self._id_mode)
 
     def _unbundle(self, arr: np.ndarray, k: int):
-        return unbundle_ids(arr, k, self._pack_ids)
+        return unbundle_ids(arr, k, self._id_mode)
 
     def _search_group(self, Vp, Cf, Tf, dnf, Qblk_g, sn, n,
                       self_k: int, impl: str | None = None,
@@ -485,7 +526,7 @@ class BatchedEngine:
         Qpack = pack_query_block(Vq.astype(np.float32), qtype, v, l, r)
         Q_dev = jax.device_put(Qpack)         # ONE relay upload
 
-        kw = (k // 2 if (self._pack_ids and k % 2 == 0) else k) + 1
+        kw = packed_id_width(k, self._id_mode) + 1
         bundle_raw = np.empty((m_pad, kw), dtype=np.int32)
         dists_out = (
             np.empty((m_pad, k), dtype=np.float32) if return_dists else None

@@ -50,7 +50,9 @@ from hvq_tpu.models.batched import (
     _CERT_REL_MM,
     _CERT_REL_T,
     QPACK_W,
+    id_pack_mode,
     pack_query_block,
+    packed_id_width,
 )
 from hvq_tpu.models.device_db import DeviceDB
 from hvq_tpu.ops import masks as mask_ops
@@ -151,7 +153,7 @@ class ShardedEngine:
         self._dn_max = (
             float(jnp.max(self.db.d_norms)) if self.certified else 0.0
         )
-        self._pack_ids = self.db.n <= 0xFFFF
+        self._id_mode = id_pack_mode(self.db.n, _c.K_DEFAULT)
         self._l2_min_w = 65536      # see BatchedEngine._l2_min_w
         self._search_jit = jax.jit(
             self._search_batch,
@@ -165,12 +167,12 @@ class ShardedEngine:
     def _bundle(self, ids, suspect):
         from hvq_tpu.models.batched import bundle_ids
 
-        return bundle_ids(ids, suspect, self._pack_ids)
+        return bundle_ids(ids, suspect, self._id_mode)
 
-    def _unbundle_ids(self, arr: np.ndarray, k: int):
+    def _unbundle_ids(self, arr, k: int):
         from hvq_tpu.models.batched import unbundle_ids
 
-        return unbundle_ids(arr, k, self._pack_ids)
+        return unbundle_ids(arr, k, self._id_mode)
 
     def _search_group(self, Vp, C, T, dn, tail_V, Qblk_g, sn, n, k,
                       impl=None, bin_top=None, level2=True):
@@ -360,7 +362,7 @@ class ShardedEngine:
         db_args = (
             self.db.Vp, self.db.C, self.db.T, self.db.d_norms, self.tail_V,
         )
-        kw = (k // 2 if (self._pack_ids and k % 2 == 0) else k) + 1
+        kw = packed_id_width(k, self._id_mode) + 1
         bundle_raw = np.empty((m_pad, kw), dtype=np.int32)
         dists_out = (
             np.empty((m_pad, k), dtype=np.float32) if return_dists else None

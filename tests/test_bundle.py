@@ -13,26 +13,42 @@ from hvq_tpu.models.batched import (
 )
 
 
-@pytest.mark.parametrize("pack", [False, True])
-def test_bundle_round_trip(pack):
+@pytest.mark.parametrize(
+    "mode,max_id,width",
+    [("none", 1 << 30, 100), ("16", 0xFFFF, 50), ("24", 0xFFFFFF, 75)],
+)
+def test_bundle_round_trip(mode, max_id, width):
     rng = np.random.default_rng(0)
-    ids = rng.integers(0, 0xFFFF, size=(7, 100), dtype=np.int64)
+    ids = rng.integers(0, max_id + 1, size=(7, 100), dtype=np.int64)
     suspect = rng.random(7) < 0.4
     b = np.asarray(
-        bundle_ids(jnp.asarray(ids, jnp.int32), jnp.asarray(suspect), pack)
+        bundle_ids(jnp.asarray(ids, jnp.int32), jnp.asarray(suspect), mode)
     )
-    assert b.shape == (7, (50 if pack else 100) + 1)
-    out_ids, out_s = unbundle_ids(b, 100, pack)
+    assert b.shape == (7, width + 1)
+    out_ids, out_s = unbundle_ids(b, 100, mode)
     assert (out_ids.astype(np.uint32) == ids.astype(np.uint32)).all()
     assert (out_s == suspect).all()
 
 
-def test_bundle_odd_k_never_packs():
+@pytest.mark.parametrize("mode", ["16", "24"])
+def test_bundle_nondivisible_k_never_packs(mode):
     ids = jnp.arange(33, dtype=jnp.int32).reshape(3, 11)
-    b = np.asarray(bundle_ids(ids, jnp.zeros(3, bool), True))
-    assert b.shape == (3, 12)     # k odd → unpacked even with pack_ids
-    out_ids, _ = unbundle_ids(b, 11, True)
+    b = np.asarray(bundle_ids(ids, jnp.zeros(3, bool), mode))
+    assert b.shape == (3, 12)     # k=11 not divisible → unpacked
+    out_ids, _ = unbundle_ids(b, 11, mode)
     assert (out_ids == np.asarray(ids)).all()
+
+
+def test_id_pack_mode_selection():
+    from hvq_tpu.models.batched import id_pack_mode, packed_id_width
+
+    assert id_pack_mode(10_000, 100) == "16"
+    assert id_pack_mode(1_000_000, 100) == "24"
+    assert id_pack_mode(10_000_000, 100) == "24"
+    assert id_pack_mode(20_000_000, 100) == "none"
+    assert packed_id_width(100, "16") == 50
+    assert packed_id_width(100, "24") == 75
+    assert packed_id_width(11, "24") == 11
 
 
 def test_rerun_ladder_compacts_and_scatters():

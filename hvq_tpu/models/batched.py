@@ -51,9 +51,9 @@ transfer pays ~40-150 ms fixed + ~35-70 MB/s): queries ship as ONE packed
 (B, 132) array ([vector₁₂₈ | type | v | l | r], one upload instead of
 five), and ``search(return_dists=False)`` fetches only the ids — the
 reference's ``vec_query`` contract is also ids-only, with the .dist file
-recomputed host-side afterwards (src/test.cpp:95-110, io.h:50-78). When
-ids fit 16 bits (n ≤ 65535) two ids pack per int32 lane, halving the
-result fetch.
+recomputed host-side afterwards (src/test.cpp:95-110, io.h:50-78). Result
+ids pack 2-per-lane at 16 bits (n ≤ 65535) or 4-per-3-lanes at 24 bits
+(n ≤ 2²⁴), shrinking the fetch 50%/25% (see :func:`id_pack_mode`).
 
 Everything under ``jit`` is shape-static: query count is padded to the batch
 size, database rows to the tile size; ``sn`` (sample proportion) and ``n``

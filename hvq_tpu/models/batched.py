@@ -343,7 +343,9 @@ class BatchedEngine:
         # packed reduce before the final top_k. Measured: net-negative at
         # the medium set's W=23616 (the reduce+transpose costs what the
         # narrower top_k saves) but +12% end-to-end at the large set's
-        # W=156288. Tests lower it to force the path on small DBs.
+        # W=156288. NOTE: read at trace time, not a jit cache key — set it
+        # (e.g. tests forcing the path on small DBs) BEFORE the first
+        # search; later mutation silently has no effect on cached programs.
         self._l2_min_w = 65536
         self._search_jit = jax.jit(
             self._search_batch,
@@ -413,26 +415,23 @@ class BatchedEngine:
             W = out_s.shape[1]
             kp = min(self.kprime, W)
             worst2 = None
-            if level2 and W >= self._l2_min_w:
+            # nt >= 128: each level-2 bin must span ONE bin-slot across
+            # >= BIN tiles; at smaller nt the transposed bins aggregate the
+            # round-0 (per-bin-best) entries of many level-1 bins and the
+            # reduce concentrates exactly the top candidates (measured:
+            # recall 0.4 on filtered queries when forced at nt=30).
+            if level2 and W >= self._l2_min_w and nt >= 128:
                 # 2nd-level packed reduce: the candidate top_k is the tail's
                 # main cost at wide streams (experiments/topk_tail.py);
-                # worst2 joins the certificate below. The stream transposes
-                # to (bin-slot, tile) order first so each level-2 bin
-                # samples ACROSS tiles — tile-major order concentrates one
-                # tile's near-ties into one bin and trips the certificate
-                # on dense neighborhoods (measured: a single such query per
-                # 10⁴ forces a streaming rerun). Reruns pass level2=False:
-                # one batch's plain top_k is cheap and certifies harder.
+                # worst2 joins the certificate below, and nt= decorrelates
+                # the bins from tiles (see binned_stream_topk). Reruns pass
+                # level2=False: one batch's plain top_k is cheap and
+                # certifies harder.
                 from hvq_tpu.ops.topk import binned_stream_topk
 
-                rb = W // nt
-                out_s2 = out_s.reshape(B, nt, rb).swapaxes(1, 2).reshape(
-                    B, W
+                scores, ids, worst2 = binned_stream_topk(
+                    out_s, out_i, kp, nt=nt
                 )
-                out_i2 = out_i.reshape(B, nt, rb).swapaxes(1, 2).reshape(
-                    B, W
-                )
-                scores, ids, worst2 = binned_stream_topk(out_s2, out_i2, kp)
             else:
                 top_neg, idx = jax.lax.top_k(-out_s, kp)
                 scores = -top_neg                   # ascending quantized

@@ -112,7 +112,9 @@ class PartitionedEngine:
         # Routed scans cost ~µs per query: pack many into one dispatch so
         # the fixed host/relay round trip amortizes.
         self.routed_batch = routed_batch or 4 * query_batch
-        self._l2_min_w = 65536      # see BatchedEngine._l2_min_w
+        # see BatchedEngine._l2_min_w (trace-time constant: set
+        # before the first search)
+        self._l2_min_w = 65536
         self.dispatch_group = dispatch_group
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top", "level2")
@@ -227,20 +229,12 @@ class PartitionedEngine:
         kp = min(self.kprime, W)
         nt_v = Vp_view.shape[0] // db_tile
         worst2 = None
-        if level2 and W >= self._l2_min_w:
-            # transposed to (bin-slot, tile) order -- see BatchedEngine
+        # nt >= 128: see BatchedEngine (level-2 decorrelation)
+        if level2 and W >= self._l2_min_w and nt_v >= 128:
             from hvq_tpu.ops.topk import binned_stream_topk
 
-            rb = W // nt_v
-            Bq = out_s.shape[0]
-            out_s2 = out_s.reshape(Bq, nt_v, rb).swapaxes(1, 2).reshape(
-                Bq, W
-            )
-            out_i2 = out_i.reshape(Bq, nt_v, rb).swapaxes(1, 2).reshape(
-                Bq, W
-            )
             scores, cand_pos, worst2 = binned_stream_topk(
-                out_s2, out_i2, kp
+                out_s, out_i, kp, nt=nt_v
             )
         else:
             top_neg, idx = jax.lax.top_k(-out_s, kp)
@@ -327,7 +321,7 @@ class PartitionedEngine:
             qV, qtype, v, l, r = xs
             return None, self._search_full(
                 Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
-                qV, qtype, v, l, r, sn, n, k, bin_top,
+                qV, qtype, v, l, r, sn, n, k, bin_top, level2,
             )
 
         _, out = jax.lax.scan(step, None, (qVg, qtypeg, vg, lg, rg))

@@ -154,7 +154,9 @@ class ShardedEngine:
             float(jnp.max(self.db.d_norms)) if self.certified else 0.0
         )
         self._id_mode = id_pack_mode(self.db.n, _c.K_DEFAULT)
-        self._l2_min_w = 65536      # see BatchedEngine._l2_min_w
+        # see BatchedEngine._l2_min_w (trace-time constant: set
+        # before the first search)
+        self._l2_min_w = 65536
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("k", "impl", "bin_top", "level2"),
@@ -257,18 +259,13 @@ class ShardedEngine:
                 W = out_s.shape[1]
                 kp = min(kprime, W)
                 worst2 = None
-                if level2 and W >= self._l2_min_w:
+                # nt >= 128: see BatchedEngine (level-2 bins must
+                # decorrelate across tiles)
+                if level2 and W >= self._l2_min_w and nt >= 128:
                     from hvq_tpu.ops.topk import binned_stream_topk
 
-                    rb = W // nt
-                    out_s2 = out_s.reshape(Bl, nt, rb).swapaxes(
-                        1, 2
-                    ).reshape(Bl, W)
-                    out_i2 = out_i.reshape(Bl, nt, rb).swapaxes(
-                        1, 2
-                    ).reshape(Bl, W)
                     scores, gids, worst2 = binned_stream_topk(
-                        out_s2, out_i2, kp
+                        out_s, out_i, kp, nt=nt
                     )
                 else:
                     top_neg, idx = jax.lax.top_k(-out_s, kp)

@@ -274,6 +274,11 @@ def deferred_bin_scan_xla(
         payload.reshape(nt, db_tile).astype(jnp.int32),
     )
 
+    # qnorm shift clamps scores non-negative like the packed variants —
+    # downstream bitcast orderings (binned_stream_topk) and the exactness
+    # certificate require full squared distances, not dn − 2q·V
+    qnorm = jnp.sum(qVf * qVf, axis=1)
+
     def step(_, tile):
         V_t, C_t, T_t, dn_t, oid_t, pay_t = tile
         scores = dn_t[None, :] - 2.0 * jax.lax.dot_general(
@@ -282,6 +287,7 @@ def deferred_bin_scan_xla(
             precision=precision,
             preferred_element_type=jnp.float32,
         )
+        scores = jnp.maximum(scores + qnorm[:, None], 0.0)
         ok = oid_t[None, :] < sn
         ok &= (~active_c[:, None]) | (C_t[None, :] == v[:, None])
         ok &= (~active_t[:, None]) | (

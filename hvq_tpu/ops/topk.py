@@ -90,6 +90,7 @@ def binned_stream_topk(
     out_i: jnp.ndarray,   # (B, W) candidate ids/positions
     kp: int,
     rounds: int = 8,
+    nt: int | None = None,
 ):
     """Second-level packed bin reduce before the final candidate top_k.
 
@@ -105,10 +106,21 @@ def binned_stream_topk(
     data, so the certificate — not the Poisson bound alone — carries
     soundness).
 
+    ``nt`` (the tile count of a tile-major stream) decorrelates the bins:
+    the stream transposes to (bin-slot, tile) order first, so each
+    128-column bin samples ACROSS tiles — tile-major order concentrates
+    one tile's near-ties into one bin and trips the certificate on dense
+    neighborhoods (measured: one such query per 10⁴ once forced a
+    streaming rerun).
+
     Returns (scores (B, kp), ids (B, kp), worst2 (B,) — the min over bins
     of the ``rounds``-th kept value, +inf where bins never saturated).
     """
     B, W = out_s.shape
+    if nt is not None and nt > 1 and W % nt == 0:
+        rb = W // nt
+        out_s = out_s.reshape(B, nt, rb).swapaxes(1, 2).reshape(B, W)
+        out_i = out_i.reshape(B, nt, rb).swapaxes(1, 2).reshape(B, W)
     BIN = 128
     Wp = -(-W // BIN) * BIN
     if Wp != W:

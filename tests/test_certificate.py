@@ -163,26 +163,47 @@ def test_partitioned_full_path_certificate():
 
 def test_level2_reduce_exact_with_certificate():
     """Force the 2nd-level candidate reduce (engines gate it at wide
-    streams) on a small DB: results must stay oracle-exact, and on the
-    adversarial concentrated layout the level-2 certificate must flag."""
-    ds = generate_dataset(16384, seed=13, categories=20)
+    streams AND nt >= 128 for decorrelation): results must stay
+    oracle-exact, including on filtered queries."""
+    ds = generate_dataset(65536, seed=13, categories=20)
     qs = generate_queries(32, seed=14, categories=20)
-    eng = BatchedEngine(ds, query_batch=32, scan_impl="xla_packed")
-    eng._l2_min_w = 1              # always run level 2
+    eng = BatchedEngine(
+        ds, db_tile=512, query_batch=32, scan_impl="xla_packed"
+    )
+    eng._l2_min_w = 1              # run level 2 (nt = 128 here)
+    assert ds.n // 512 >= 128
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
     assert_results_match(ds, qs, ids, dists, oids, odists)
 
-    # adversarial: hot rows share level-1 bins -> their stream columns are
-    # adjacent too; the ladder must still restore exactness
-    ds2, qs2 = _adversarial_pair()
-    eng2 = BatchedEngine(ds2, query_batch=8, scan_impl="xla_packed")
+    # adversarial: hot rows share level-1 bins; the certificate + ladder
+    # must still restore exactness with level 2 active
+    ds2, qs2 = _adversarial_pair(n=65536)
+    eng2 = BatchedEngine(
+        ds2, db_tile=512, query_batch=8, scan_impl="xla_packed"
+    )
     eng2._l2_min_w = 1
     oids2, odists2 = search_oracle(ds2, qs2)
     ids2, dists2 = eng2.search(qs2)
     assert recall_at_k(ids2, oids2, dists2, odists2) == 1.0
     assert_results_match(ds2, qs2, ids2, dists2, oids2, odists2)
+
+
+def test_level2_skipped_when_tiles_too_few():
+    """nt < 128 must bypass level 2 even when forced wide-open: the
+    transposed bins would aggregate the per-bin-best (round-0) entries of
+    many level-1 bins and concentrate exactly the top candidates."""
+    ds = generate_dataset(60_000, seed=61, categories=30)
+    qs = generate_queries(64, seed=62, categories=30)
+    eng = BatchedEngine(
+        ds, db_tile=2048, query_batch=64, scan_impl="xla_deferred",
+        certified=False,              # no safety net: must not lose
+    )
+    eng._l2_min_w = 1                 # nt = 30 → guard must refuse
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
 
 
 def test_random_layout_rarely_falls_back():

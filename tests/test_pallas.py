@@ -154,16 +154,16 @@ def test_packed_scan_selection_matches_reference():
     s_ref, i_ref = deferred_bin_scan_xla(*args, sn, db_tile=Dt, bin_top=2)
     s_pk, i_pk = deferred_packed_scan_xla(*args, sn, db_tile=Dt, bin_top=2)
 
-    qnorm = (qV.astype(np.float64) ** 2).sum(1)
     for b in range(B):
         # same top-32 candidate sets per query
         ref_top = np.asarray(i_ref)[b][np.argsort(np.asarray(s_ref)[b])[:32]]
         pk_top = np.asarray(i_pk)[b][np.argsort(np.asarray(s_pk)[b])[:32]]
         assert set(ref_top.tolist()) == set(pk_top.tolist())
-        # packed distances ≈ score + qnorm up to the 7-bit quantization
+        # both variants emit full squared distances (qnorm-shifted);
+        # packed quantizes 7 low mantissa bits
         fin = np.isfinite(np.asarray(s_pk)[b])
         approx = np.asarray(s_pk)[b][fin]
-        exact = (np.asarray(s_ref)[b] + qnorm[b])[np.isfinite(np.asarray(s_ref)[b])]
+        exact = np.asarray(s_ref)[b][np.isfinite(np.asarray(s_ref)[b])]
         # match by sorted order
         np.testing.assert_allclose(
             np.sort(approx), np.sort(exact), rtol=2e-5, atol=1e-3

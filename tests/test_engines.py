@@ -196,3 +196,40 @@ def test_dispatch_plan():
         assert sum(plan) == nb
         assert all(g & (g - 1) == 0 for g in plan)  # powers of two
         assert plan == sorted(plan, reverse=True)
+
+
+def test_mass_ties_exactness():
+    """500 IDENTICAL rows equal to the query: every engine must return k
+    ties at distance 0 (any id subset of the duplicates is correct — the
+    distance contract, not ids, is what's checked; compare_data.cpp:82-94
+    rationale)."""
+    import numpy as np
+
+    from hvq_tpu.models.batched import BatchedEngine
+    from hvq_tpu.models.oracle import search_oracle
+    from hvq_tpu.models.partitioned import PartitionedEngine
+    from hvq_tpu.models.sharded import ShardedEngine
+    from hvq_tpu.utils.formats import Dataset
+    from hvq_tpu.utils.generators import generate_dataset, generate_queries
+
+    ds0 = generate_dataset(16384, seed=71, categories=10)
+    qs = generate_queries(8, seed=72, categories=10, types=(0,))
+    V = ds0.V.copy()
+    V[2000:2500] = qs.V[0][None, :]          # 500 exact duplicates
+    ds = Dataset(C=ds0.C, T=ds0.T, V=V.astype(np.float32))
+    oids, odists = search_oracle(ds, qs)
+    assert (odists[0] == 0).all()
+
+    for make in (
+        lambda: BatchedEngine(ds, query_batch=8, scan_impl="xla_packed"),
+        lambda: ShardedEngine(ds, db_tile=512, query_batch=8),
+        lambda: PartitionedEngine(ds, query_batch=8),
+    ):
+        eng = make()
+        ids, dists = eng.search(qs)
+        assert (dists[0] == 0).all(), type(eng).__name__
+        assert np.all((ids[0] >= 2000) & (ids[0] < 2500)), type(eng).__name__
+        assert len(set(ids[0].tolist())) == 100, type(eng).__name__
+        from conftest import assert_results_match
+
+        assert_results_match(ds, qs, ids, dists, oids, odists)

@@ -27,6 +27,29 @@ import sys
 import time
 
 
+def _print_counters(rep: dict, m: int, wall: float) -> None:
+    """Counter table for the timed search region, per-query normalized —
+    the reference's BenchmarkParameters dump (perfevent.hpp:260-320:
+    one aligned header/value row pair on stderr)."""
+    cols = [("wall_s", f"{wall:.3f}")]
+    for name in ("cycles", "instructions", "L1d_misses", "LLC_misses",
+                 "branch_misses"):
+        if name in rep:
+            cols.append((f"{name}/q", f"{rep[name] / max(m, 1):.1f}"))
+    for name in ("IPC", "GHz"):
+        if name in rep:
+            cols.append((name, f"{rep[name]:.3f}"))
+    widths = [max(len(h), len(v)) for h, v in cols]
+    print(
+        " ".join(h.rjust(w) for (h, _), w in zip(cols, widths)),
+        file=sys.stderr,
+    )
+    print(
+        " ".join(v.rjust(w) for (_, v), w in zip(cols, widths)),
+        file=sys.stderr,
+    )
+
+
 def _cmd_run(args) -> int:
     import jax
 
@@ -88,23 +111,31 @@ def _cmd_run(args) -> int:
         jax.profiler.start_trace(args.profile)
     # Timed region = ids only, mirroring the reference: vec_query returns
     # ids (optimized_impl.h:392-437); the .dist file is recomputed from ids
-    # after the counters stop (src/test.cpp:95-110, io.h:50-78).
-    import inspect
+    # after the counters stop (src/test.cpp:95-110, io.h:50-78). Host HW
+    # counters bracket the search exactly as the reference's PerfEvent
+    # brackets vec_query (src/test.cpp:82-92, perfevent.hpp:112-198).
+    from hvq_tpu.native import PerfCounters
 
-    search_kw = (
-        {"return_dists": False}
-        if "return_dists"
-        in inspect.signature(getattr(engine, "engine", engine).search).parameters
-        else {}
-    )
+    search_params = inspect.signature(
+        getattr(engine, "engine", engine).search
+    ).parameters
+    search_kw = {}
+    if "return_dists" in search_params:
+        search_kw["return_dists"] = False
+    if "phases" in search_params:
+        search_kw["phases"] = timer
     t0 = time.perf_counter()
-    ids, _ = engine.search(
-        qs, k=args.k, sample_proportion=args.sample_proportion, **search_kw
-    )
+    with PerfCounters() as pc:
+        ids, _ = engine.search(
+            qs, k=args.k, sample_proportion=args.sample_proportion,
+            **search_kw,
+        )
     wall = time.perf_counter() - t0
     if args.profile:
         jax.profiler.stop_trace()
     timer.add("search", wall)
+    if pc.values:
+        _print_counters(pc.report(), qs.m, wall)
 
     with timer.phase("write_results"):
         formats.save_knn(ids, args.output)

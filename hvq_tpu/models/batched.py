@@ -89,12 +89,19 @@ from hvq_tpu.utils.formats import Dataset, QuerySet
 QPACK_W = _c.VEC_DIM + 4
 
 # Exactness-certificate slack terms (see class docstring). The selection
-# distance dn + ‖q‖² − 2·q·d is computed with ≥3-pass-bf16 matmuls
-# (error ≲ 2⁻²¹ per product) and fp32 adds over ≤128 lanes, so its absolute
-# error is bounded by ~2⁻²¹·(‖q‖²+max‖d‖²) with generous margin; the packed
-# key truncates 7 mantissa bits (2⁻¹⁶ relative, rounding DOWN — quantized ≤
-# true); the refined threshold t carries ≤128·2⁻²⁴ relative error itself.
-_CERT_REL_MM = 4e-6    # × (‖q‖² + max ‖d‖²)
+# distance dn + ‖q‖² − 2·q·d is computed with ≥3-pass-bf16 matmuls and a
+# fp32 accumulation over ≤128 lanes whose reduction ORDER XLA/Mosaic does
+# not contractually fix. The bound must therefore cover the WORST order —
+# fully sequential: |err(Σxᵢyᵢ)| ≤ 128·2⁻²⁴·Σ|xᵢyᵢ| ≈ 7.63e-6·‖q‖‖d‖
+# (a balanced tree would give log₂128·2⁻²⁴ ≈ 4.2e-7). With the 2× factor
+# on the cross term, bf16 3-pass product error (≲2⁻²¹ per product) and the
+# final dn + (−2q·d) add, the total is ≲ 8.2e-6·(‖q‖²+max‖d‖²); the
+# constant below carries ~2× margin on top. The packed key truncates 7
+# mantissa bits (2⁻¹⁶ relative, rounding DOWN — quantized ≤ true); the
+# refined threshold t carries ≤128·2⁻²⁴ relative error itself. An
+# adversarial near-threshold stress test sweeps this boundary in
+# tests/test_certificate.py::test_certificate_slack_boundary_stress.
+_CERT_REL_MM = 1.6e-5    # × (‖q‖² + max ‖d‖²)
 _CERT_REL_T = 2.0 ** -13   # × t  (covers key quantization ×8 margin)
 _CERT_ABS = 1e-6
 
@@ -266,6 +273,8 @@ class BatchedEngine:
         dispatch_group: int | None = None,
         device_db: DeviceDB | None = None,
         certified: bool = True,
+        bin_top: int | None = None,
+        l2_min_w: int = 65536,
     ):
         self.scan_impl = (
             _default_scan_impl() if scan_impl == "auto" else scan_impl
@@ -299,8 +308,11 @@ class BatchedEngine:
         # R entries kept per 128-lane bin. Certified mode picks R for a tiny
         # fallback RATE (correctness comes from the certificate); legacy mode
         # demands the Poisson loss bound outright and may return None
-        # (→ certified-exact XLA path).
-        if self.scan_impl == "pallas":
+        # (→ certified-exact XLA path). An explicit ``bin_top`` overrides
+        # the choice (constructor-only: it is baked into jit cache keys).
+        if bin_top is not None:
+            self.bin_top = bin_top
+        elif self.scan_impl == "pallas":
             self.bin_top = kernel_bin_top(
                 self.db.db_tile, self.db.n_pad, kprime,
                 certified=self.certified,
@@ -338,15 +350,18 @@ class BatchedEngine:
             float(jnp.max(self.db.d_norms)) if self.certified else 0.0
         )
         # Two ids per int32 lane when they fit 16 bits (halves the id fetch).
-        self._id_mode = id_pack_mode(self.db.n, _c.K_DEFAULT)
+        # Gated on n_pad, not n: every id that can reach bundle_ids is a
+        # database position < n_pad (finalize's tail pads are < n and DB pad
+        # rows are masked, but gating on the padded width makes the packed
+        # representation cover every representable position by construction).
+        self._id_mode = id_pack_mode(self.db.n_pad, _c.K_DEFAULT)
         # Candidate streams at least this wide go through the 2nd-level
         # packed reduce before the final top_k. Measured: net-negative at
         # the medium set's W=23616 (the reduce+transpose costs what the
         # narrower top_k saves) but +12% end-to-end at the large set's
-        # W=156288. NOTE: read at trace time, not a jit cache key — set it
-        # (e.g. tests forcing the path on small DBs) BEFORE the first
-        # search; later mutation silently has no effect on cached programs.
-        self._l2_min_w = 65536
+        # W=156288. Constructor-only: the value is baked into the traced
+        # program at first compile.
+        self.l2_min_w = l2_min_w
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("self_k", "impl", "bin_top", "level2"),
@@ -420,7 +435,7 @@ class BatchedEngine:
             # round-0 (per-bin-best) entries of many level-1 bins and the
             # reduce concentrates exactly the top candidates (measured:
             # recall 0.4 on filtered queries when forced at nt=30).
-            if level2 and W >= self._l2_min_w and nt >= 128:
+            if level2 and W >= self.l2_min_w and nt >= 128:
                 # 2nd-level packed reduce: the candidate top_k is the tail's
                 # main cost at wide streams (experiments/topk_tail.py);
                 # worst2 joins the certificate below, and nt= decorrelates
@@ -508,6 +523,7 @@ class BatchedEngine:
         k: int = _c.K_DEFAULT,
         sample_proportion: float = 1.0,
         return_dists: bool = True,
+        phases=None,
     ) -> tuple[np.ndarray, np.ndarray | None]:
         """Run the query set; returns (ids (m, k) uint32, dists (m, k) fp32).
 
@@ -515,15 +531,25 @@ class BatchedEngine:
         ``vec_query`` contract is ids-only too (optimized_impl.h:392-437);
         .dist files are recomputed from ids afterwards (io.h:50-78) via
         formats.recompute_result_distances.
+
+        ``phases``: optional PhaseTimer receiving the in-search breakdown
+        (upload / enqueue / fetch / rerun), the driver-visible analogue of
+        the reference's dist/check/sort/merge dump (optimized.hpp:133-145).
+        Through an async relay, ``enqueue`` is dispatch cost and ``fetch``
+        is where compute+transfer wait lands.
         """
+        from hvq_tpu.utils.timing import maybe_phase
+
         n = self.db.n
         sn = jnp.int32(int(sample_proportion * n))
         n_t = jnp.int32(n)
         B = self.query_batch
 
-        Vq, qtype, v, l, r, m_pad = common.pad_query_arrays(qs, B)
-        Qpack = pack_query_block(Vq.astype(np.float32), qtype, v, l, r)
-        Q_dev = jax.device_put(Qpack)         # ONE relay upload
+        with maybe_phase(phases, "search/pack"):
+            Vq, qtype, v, l, r, m_pad = common.pad_query_arrays(qs, B)
+            Qpack = pack_query_block(Vq.astype(np.float32), qtype, v, l, r)
+        with maybe_phase(phases, "search/upload"):
+            Q_dev = jax.device_put(Qpack)         # ONE relay upload
 
         kw = packed_id_width(k, self._id_mode) + 1
         bundle_raw = np.empty((m_pad, kw), dtype=np.int32)
@@ -536,31 +562,34 @@ class BatchedEngine:
         # and the relay's per-call latency pipelines instead of serializing.
         pending = []
         s = 0
-        for G in dispatch_plan(m_pad // B, self.dispatch_group):
-            if G > 1:
-                e = s + G * B
-                b_b, d_b = self._search_group_jit(
-                    *db_args, Q_dev[s:e].reshape(G, B, QPACK_W),
-                    sn, n_t, self_k=k,
-                )
-            else:
-                e = s + B
-                b_b, d_b = self._search_jit(
-                    *db_args, Q_dev[s:e], sn, n_t, self_k=k,
-                )
-            pending.append((s, e, b_b, d_b))
-            s = e
-        for s, e, b_b, d_b in pending:
-            bundle_raw[s:e] = np.asarray(b_b).reshape(e - s, kw)
-            if return_dists:
-                dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
+        with maybe_phase(phases, "search/enqueue"):
+            for G in dispatch_plan(m_pad // B, self.dispatch_group):
+                if G > 1:
+                    e = s + G * B
+                    b_b, d_b = self._search_group_jit(
+                        *db_args, Q_dev[s:e].reshape(G, B, QPACK_W),
+                        sn, n_t, self_k=k,
+                    )
+                else:
+                    e = s + B
+                    b_b, d_b = self._search_jit(
+                        *db_args, Q_dev[s:e], sn, n_t, self_k=k,
+                    )
+                pending.append((s, e, b_b, d_b))
+                s = e
+        with maybe_phase(phases, "search/fetch"):
+            for s, e, b_b, d_b in pending:
+                bundle_raw[s:e] = np.asarray(b_b).reshape(e - s, kw)
+                if return_dists:
+                    dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
 
         ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
         if suspects.any():
             # ids_raw is a view of bundle_raw: ladder writes land in place
-            self._rerun_suspects(
-                Qpack, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
-            )
+            with maybe_phase(phases, "search/rerun"):
+                self._rerun_suspects(
+                    Qpack, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
+                )
         ids_out, _ = self._unbundle(bundle_raw, k)
         return (
             ids_out[: qs.m].astype(np.uint32),

@@ -68,6 +68,8 @@ class PartitionedEngine:
         routed_batch: int | None = None,
         dispatch_group: int = 8,
         certified: bool = True,
+        bin_top: int | None = None,
+        l2_min_w: int = 65536,
     ):
         self.index = index or PartitionedIndex.build(
             ds, db_tile=db_tile, dtype=dtype
@@ -96,8 +98,10 @@ class PartitionedEngine:
         # are independent of the (C, T) sort order.
         from hvq_tpu.ops.pallas_scan import choose_bin_top
 
-        self.bin_top = choose_bin_top(
-            n_pad, kprime, certified=self.certified
+        self.bin_top = (
+            bin_top
+            if bin_top is not None
+            else choose_bin_top(n_pad, kprime, certified=self.certified)
         )
         if self.bin_top is None and (not caps or caps[-1] < n_pad):
             # tiny DB: the deferred full scan has no sound bin depth, so
@@ -112,9 +116,9 @@ class PartitionedEngine:
         # Routed scans cost ~µs per query: pack many into one dispatch so
         # the fixed host/relay round trip amortizes.
         self.routed_batch = routed_batch or 4 * query_batch
-        # see BatchedEngine._l2_min_w (trace-time constant: set
-        # before the first search)
-        self._l2_min_w = 65536
+        # see BatchedEngine.l2_min_w (constructor-only: baked into the
+        # traced program at first compile)
+        self.l2_min_w = l2_min_w
         self.dispatch_group = dispatch_group
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top", "level2")
@@ -230,7 +234,7 @@ class PartitionedEngine:
         nt_v = Vp_view.shape[0] // db_tile
         worst2 = None
         # nt >= 128: see BatchedEngine (level-2 decorrelation)
-        if level2 and W >= self._l2_min_w and nt_v >= 128:
+        if level2 and W >= self.l2_min_w and nt_v >= 128:
             from hvq_tpu.ops.topk import binned_stream_topk
 
             scores, cand_pos, worst2 = binned_stream_topk(
@@ -334,11 +338,17 @@ class PartitionedEngine:
         k: int = _c.K_DEFAULT,
         sample_proportion: float = 1.0,
         return_dists: bool = True,
+        phases=None,
     ) -> tuple[np.ndarray, np.ndarray | None]:
+        from hvq_tpu.utils.timing import maybe_phase
+
         idx = self.index
         n = idx.cat_view.n
         sn_val = int(sample_proportion * n)
-        view_id, start, end = idx.query_ranges(qs.qtype, qs.v, qs.l, qs.r)
+        with maybe_phase(phases, "search/route"):
+            view_id, start, end = idx.query_ranges(
+                qs.qtype, qs.v, qs.l, qs.r
+            )
         span = end - start
 
         ids_out = np.empty((qs.m, k), dtype=np.uint32)
@@ -377,80 +387,83 @@ class PartitionedEngine:
 
         scalars = (jnp.int32(sn_val), jnp.int32(n))
         pending = []
-        for vid in (0, 1):
-            if not np.any(view_id == vid):
-                continue
-            # idx.time_view is LAZY (a second full HBM copy): only narrow
-            # type-2 queries ever reach vid == 1.
-            view = idx.cat_view if vid == 0 else idx.time_view
-            varg = (view.Vp, view.C, view.T, view.d_norms, view.oid,
-                    self.tail_V)
-            # FULL route: batched dense packed scan, grouped dispatches
-            q_idx = np.nonzero((view_id == vid) & (bucket_of < 0))[0]
-            if q_idx.size:
-                B = self.query_batch
-                nb = -(-q_idx.size // B)
-                s = 0
-                for G in dispatch_plan(nb, self.dispatch_group):
-                    batch_list = [
-                        q_idx[(s + g) * B : (s + g + 1) * B]
-                        for g in range(G)
-                    ]
-                    if G > 1:
-                        stk = [self._query_args(b, qs) for b in batch_list]
-                        args = tuple(
-                            jnp.asarray(np.stack([a[i] for a in stk]))
-                            for i in range(5)
+        with maybe_phase(phases, "search/enqueue"):
+            for vid in (0, 1):
+                if not np.any(view_id == vid):
+                    continue
+                # idx.time_view is LAZY (a second full HBM copy): only narrow
+                # type-2 queries ever reach vid == 1.
+                view = idx.cat_view if vid == 0 else idx.time_view
+                varg = (view.Vp, view.C, view.T, view.d_norms, view.oid,
+                        self.tail_V)
+                # FULL route: batched dense packed scan, grouped dispatches
+                q_idx = np.nonzero((view_id == vid) & (bucket_of < 0))[0]
+                if q_idx.size:
+                    B = self.query_batch
+                    nb = -(-q_idx.size // B)
+                    s = 0
+                    for G in dispatch_plan(nb, self.dispatch_group):
+                        batch_list = [
+                            q_idx[(s + g) * B : (s + g + 1) * B]
+                            for g in range(G)
+                        ]
+                        if G > 1:
+                            stk = [self._query_args(b, qs) for b in batch_list]
+                            args = tuple(
+                                jnp.asarray(np.stack([a[i] for a in stk]))
+                                for i in range(5)
+                            )
+                            out = self._jit_full_group(
+                                *varg, *args, *scalars, k=k
+                            )
+                            pending.append(
+                                (np.concatenate(batch_list), out, B, True)
+                            )
+                        else:
+                            a = self._query_args(batch_list[0], qs)
+                            out = self._jit_full(
+                                *varg, *map(jnp.asarray, a), *scalars, k=k
+                            )
+                            pending.append((batch_list[0], out, None, True))
+                        s += G
+                # ROUTED buckets: per-query contiguous slices, wide batches
+                for bi, cap in enumerate(self.route_buckets):
+                    q_idx = np.nonzero((view_id == vid) & (bucket_of == bi))[0]
+                    for s in range(0, q_idx.size, self.routed_batch):
+                        batch_idx = q_idx[s : s + self.routed_batch]
+                        a = self._query_args(batch_idx, qs, self.routed_batch)
+                        Bq = self.routed_batch
+                        starts = np.zeros(Bq, np.int32)
+                        ends = np.zeros(Bq, np.int32)     # pad slots: empty span
+                        starts[: batch_idx.size] = start[batch_idx]
+                        ends[: batch_idx.size] = end[batch_idx]
+                        out = self._jit_routed(
+                            *varg,
+                            jnp.asarray(starts), jnp.asarray(ends),
+                            *map(jnp.asarray, a), *scalars,
+                            k=k, span_cap=cap,
                         )
-                        out = self._jit_full_group(
-                            *varg, *args, *scalars, k=k
-                        )
-                        pending.append(
-                            (np.concatenate(batch_list), out, B, True)
-                        )
-                    else:
-                        a = self._query_args(batch_list[0], qs)
-                        out = self._jit_full(
-                            *varg, *map(jnp.asarray, a), *scalars, k=k
-                        )
-                        pending.append((batch_list[0], out, None, True))
-                    s += G
-            # ROUTED buckets: per-query contiguous slices, wide batches
-            for bi, cap in enumerate(self.route_buckets):
-                q_idx = np.nonzero((view_id == vid) & (bucket_of == bi))[0]
-                for s in range(0, q_idx.size, self.routed_batch):
-                    batch_idx = q_idx[s : s + self.routed_batch]
-                    a = self._query_args(batch_idx, qs, self.routed_batch)
-                    Bq = self.routed_batch
-                    starts = np.zeros(Bq, np.int32)
-                    ends = np.zeros(Bq, np.int32)     # pad slots: empty span
-                    starts[: batch_idx.size] = start[batch_idx]
-                    ends[: batch_idx.size] = end[batch_idx]
-                    out = self._jit_routed(
-                        *varg,
-                        jnp.asarray(starts), jnp.asarray(ends),
-                        *map(jnp.asarray, a), *scalars,
-                        k=k, span_cap=cap,
-                    )
-                    pending.append((batch_idx, out, None, False))
+                        pending.append((batch_idx, out, None, False))
         suspect_q = []
-        for batch_idx, (ids_b, d_b), B_g, is_full in pending:
-            # full-path tensors carry the certificate bit as a last column
-            w = k + 1 if is_full else k
-            ids_np = np.asarray(ids_b).reshape(-1, w)[: batch_idx.size]
-            if is_full:
-                suspect_q.append(batch_idx[ids_np[:, -1].astype(bool)])
-                ids_np = ids_np[:, :-1]
-            ids_out[batch_idx] = ids_np
-            if return_dists:
-                d_np = np.asarray(d_b).reshape(-1, k)
-                dists_out[batch_idx] = d_np[: batch_idx.size]
+        with maybe_phase(phases, "search/fetch"):
+            for batch_idx, (ids_b, d_b), B_g, is_full in pending:
+                # full-path tensors carry the certificate bit (last column)
+                w = k + 1 if is_full else k
+                ids_np = np.asarray(ids_b).reshape(-1, w)[: batch_idx.size]
+                if is_full:
+                    suspect_q.append(batch_idx[ids_np[:, -1].astype(bool)])
+                    ids_np = ids_np[:, :-1]
+                ids_out[batch_idx] = ids_np
+                if return_dists:
+                    d_np = np.asarray(d_b).reshape(-1, k)
+                    dists_out[batch_idx] = d_np[: batch_idx.size]
         if suspect_q:
             sus = np.concatenate(suspect_q)
             if sus.size:
-                self._rerun_suspects(
-                    sus, qs, ids_out, dists_out, scalars, k
-                )
+                with maybe_phase(phases, "search/rerun"):
+                    self._rerun_suspects(
+                        sus, qs, ids_out, dists_out, scalars, k
+                    )
         return ids_out, dists_out
 
     def _rerun_suspects(self, sus, qs, ids_out, dists_out, scalars, k):

@@ -82,6 +82,8 @@ class ShardedEngine:
         interpret: bool | None = None,
         dispatch_group: int = 8,
         certified: bool = True,
+        bin_top: int | None = None,
+        l2_min_w: int = 65536,
     ):
         self.mesh = mesh or make_mesh()
         self.dispatch_group = dispatch_group
@@ -122,7 +124,9 @@ class ShardedEngine:
         from hvq_tpu.ops.pallas_scan import choose_bin_top, kernel_bin_top
 
         local_rows = self.db.n_pad // self.n_d
-        if scan_impl == "pallas":
+        if bin_top is not None:
+            self.bin_top = bin_top
+        elif scan_impl == "pallas":
             self.bin_top = kernel_bin_top(
                 db_tile, local_rows, kprime, certified=self.certified
             )
@@ -153,10 +157,12 @@ class ShardedEngine:
         self._dn_max = (
             float(jnp.max(self.db.d_norms)) if self.certified else 0.0
         )
-        self._id_mode = id_pack_mode(self.db.n, _c.K_DEFAULT)
-        # see BatchedEngine._l2_min_w (trace-time constant: set
-        # before the first search)
-        self._l2_min_w = 65536
+        # Gated on n_pad — see BatchedEngine (covers every representable
+        # position by construction).
+        self._id_mode = id_pack_mode(self.db.n_pad, _c.K_DEFAULT)
+        # see BatchedEngine.l2_min_w (constructor-only: baked into the
+        # traced program at first compile)
+        self.l2_min_w = l2_min_w
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("k", "impl", "bin_top", "level2"),
@@ -261,7 +267,7 @@ class ShardedEngine:
                 worst2 = None
                 # nt >= 128: see BatchedEngine (level-2 bins must
                 # decorrelate across tiles)
-                if level2 and W >= self._l2_min_w and nt >= 128:
+                if level2 and W >= self.l2_min_w and nt >= 128:
                     from hvq_tpu.ops.topk import binned_stream_topk
 
                     scores, gids, worst2 = binned_stream_topk(
@@ -346,14 +352,18 @@ class ShardedEngine:
         k: int = _c.K_DEFAULT,
         sample_proportion: float = 1.0,
         return_dists: bool = True,
+        phases=None,
     ) -> tuple[np.ndarray, np.ndarray | None]:
+        from hvq_tpu.utils.timing import maybe_phase
+
         n = self.db.n
         sn = jnp.int32(int(sample_proportion * n))
         n_t = jnp.int32(n)
         B = self.query_batch
 
-        Vq, qtype, v, l, r, m_pad = common.pad_query_arrays(qs, B)
-        Qpack = pack_query_block(Vq.astype(np.float32), qtype, v, l, r)
+        with maybe_phase(phases, "search/pack"):
+            Vq, qtype, v, l, r, m_pad = common.pad_query_arrays(qs, B)
+            Qpack = pack_query_block(Vq.astype(np.float32), qtype, v, l, r)
         qrep2 = NamedSharding(self.mesh, P("q", None))
         grep2 = NamedSharding(self.mesh, P(None, "q", None))
         db_args = (
@@ -369,37 +379,41 @@ class ShardedEngine:
         # overlaps uploads with compute, pipelines per-call latency).
         pending = []
         s = 0
-        while s < m_pad:
-            nb = (m_pad - s) // B
-            if nb >= G:
-                e = s + G * B
-                b_b, d_b = self._search_group_jit(
-                    *db_args,
-                    jax.device_put(
-                        Qpack[s:e].reshape(G, B, QPACK_W), grep2
-                    ),
-                    sn, n_t, k=k,
-                )
-            else:
-                e = s + B
-                b_b, d_b = self._search_jit(
-                    *db_args,
-                    jax.device_put(Qpack[s:e], qrep2),
-                    sn, n_t, k=k,
-                )
-            pending.append((s, e, b_b, d_b))
-            s = e
-        for s, e, b_b, d_b in pending:
-            bundle_raw[s:e] = np.asarray(b_b).reshape(e - s, kw)
-            if return_dists:
-                dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
+        with maybe_phase(phases, "search/enqueue"):
+            while s < m_pad:
+                nb = (m_pad - s) // B
+                if nb >= G:
+                    e = s + G * B
+                    b_b, d_b = self._search_group_jit(
+                        *db_args,
+                        jax.device_put(
+                            Qpack[s:e].reshape(G, B, QPACK_W), grep2
+                        ),
+                        sn, n_t, k=k,
+                    )
+                else:
+                    e = s + B
+                    b_b, d_b = self._search_jit(
+                        *db_args,
+                        jax.device_put(Qpack[s:e], qrep2),
+                        sn, n_t, k=k,
+                    )
+                pending.append((s, e, b_b, d_b))
+                s = e
+        with maybe_phase(phases, "search/fetch"):
+            for s, e, b_b, d_b in pending:
+                bundle_raw[s:e] = np.asarray(b_b).reshape(e - s, kw)
+                if return_dists:
+                    dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
 
         ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
         if suspects.any():
             # ids_raw is a view of bundle_raw: ladder writes land in place
-            self._rerun_suspects(
-                Qpack, qrep2, suspects, ids_raw, dists_out, sn, n_t, k, kw, B
-            )
+            with maybe_phase(phases, "search/rerun"):
+                self._rerun_suspects(
+                    Qpack, qrep2, suspects, ids_raw, dists_out,
+                    sn, n_t, k, kw, B,
+                )
         ids_out, _ = self._unbundle_ids(bundle_raw, k)
         return (
             ids_out[: qs.m].astype(np.uint32),

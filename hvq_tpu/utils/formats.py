@@ -158,10 +158,16 @@ def write_query_bin(path: str | os.PathLike, qs: QuerySet) -> None:
 
 
 def save_knn(ids: np.ndarray, path: str | os.PathLike) -> None:
-    """Write result ids: ``M × k`` uint32, **headerless** (io.h:23-36)."""
+    """Write result ids: ``M × k`` uint32, **headerless** (io.h:23-36).
+
+    The reference hard-asserts k == 100 (io.h:25 ``assert(knns.size() ==
+    K)``); contest files always use k=100, but any k is accepted here —
+    the file stays headerless, so readers must pass the matching ``k``
+    to :func:`read_knn`.
+    """
     ids = np.asarray(ids)
-    if ids.ndim != 2 or ids.shape[1] != _c.K_DEFAULT:
-        raise ValueError(f"expected (M, {_c.K_DEFAULT}) ids, got {ids.shape}")
+    if ids.ndim != 2:
+        raise ValueError(f"expected (M, k) ids, got {ids.shape}")
     ids.astype(np.uint32).tofile(os.fspath(path))
 
 
@@ -204,14 +210,25 @@ def save_knn_dist(
     return d
 
 
-def read_dist(path: str | os.PathLike, k: int = _c.K_DEFAULT) -> np.ndarray:
-    """Read a ``.dist`` file (``ReadBinFull<float>``, io.h:80-105)."""
+def read_dist(path: str | os.PathLike, k: int | None = None) -> np.ndarray:
+    """Read a ``.dist`` file (``ReadBinFull<float>``, io.h:80-105).
+
+    ``k`` defaults to inference from the file size and the ``M`` header
+    (the header makes the width recoverable, unlike the headerless id
+    file); pass it explicitly to enforce a specific width.
+    """
     path = os.fspath(path)
     header = np.fromfile(path, dtype=np.uint32, count=1)
     if header.size != 1:
         raise ValueError(f"{path}: missing uint32 count header")
     m = int(header[0])
-    flat = np.fromfile(path, dtype=np.float32, offset=4, count=m * k)
+    flat = np.fromfile(path, dtype=np.float32, offset=4)
+    if k is None:
+        if m == 0:
+            return flat.reshape(0, _c.K_DEFAULT)
+        k = flat.size // m
+        if k == 0:
+            raise ValueError(f"{path}: {flat.size} distances for {m} queries")
     if flat.size != m * k:
         raise ValueError(f"{path}: expected {m * k} distances, got {flat.size}")
     return flat.reshape(m, k)

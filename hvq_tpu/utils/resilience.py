@@ -81,10 +81,31 @@ class ResilientEngine:
                 time.sleep(self.backoff_s * (2 ** (attempt - 1)))
 
 
+def _error_text(e: Exception) -> str:
+    """Uppercased exception text incl. args and chained causes.
+
+    JAX surfaces XLA status codes only inside message strings (there is no
+    structured code on XlaRuntimeError), so classification is textual by
+    necessity; folding case and following ``__cause__`` makes it robust to
+    message reformatting across jaxlib versions.
+    """
+    parts = []
+    seen = 0
+    while e is not None and seen < 4:
+        parts.append(str(e))
+        parts.extend(str(a) for a in getattr(e, "args", ()))
+        e = getattr(e, "__cause__", None) or getattr(e, "__context__", None)
+        seen += 1
+    return " ".join(parts).upper()
+
+
 def _is_oom(e: Exception) -> bool:
-    return "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
+    if isinstance(e, MemoryError):
+        return True
+    t = _error_text(e)
+    return "RESOURCE_EXHAUSTED" in t or "OUT OF MEMORY" in t
 
 
 def _is_transient(e: Exception) -> bool:
-    s = str(e)
-    return any(m in s for m in _TRANSIENT_MARKERS)
+    t = _error_text(e)
+    return any(m in t for m in _TRANSIENT_MARKERS)

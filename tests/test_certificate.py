@@ -63,9 +63,16 @@ def test_uncertified_packed_scan_loses_the_concentrated_bin():
     """Sanity that the adversarial layout is genuinely adversarial: with the
     certificate disabled (and the Poisson gate bypassed by keeping the
     certified R), recall for the concentrated query drops below 1."""
+    from hvq_tpu.ops.pallas_scan import choose_bin_top
+
     ds, qs = _adversarial_pair()
-    eng = BatchedEngine(ds, query_batch=8, scan_impl="xla_packed")
-    eng.certified = False        # keep R=10 but drop the certificate
+    # keep the certified-mode R but drop the certificate (constructor-only:
+    # both are baked into the jitted program)
+    r_cert = choose_bin_top(16384, 128, certified=True)
+    eng = BatchedEngine(
+        ds, query_batch=8, scan_impl="xla_packed",
+        certified=False, bin_top=r_cert,
+    )
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
     rec = recall_at_k(ids[:1], oids[:1], dists[:1], odists[:1])
@@ -106,8 +113,9 @@ def test_escalation_ladder_deeper_pass_suffices():
     (step 2) never compiles (bins·P(X≥6) ≈ 4e-5)."""
     ds = generate_dataset(65536, seed=21, categories=20)
     qs = generate_queries(32, seed=22, categories=20)
-    eng = BatchedEngine(ds, query_batch=32, scan_impl="xla_packed")
-    eng.bin_top = 3
+    eng = BatchedEngine(
+        ds, query_batch=32, scan_impl="xla_packed", bin_top=3
+    )
 
     impls = []
     orig = eng._search_jit
@@ -168,9 +176,9 @@ def test_level2_reduce_exact_with_certificate():
     ds = generate_dataset(65536, seed=13, categories=20)
     qs = generate_queries(32, seed=14, categories=20)
     eng = BatchedEngine(
-        ds, db_tile=512, query_batch=32, scan_impl="xla_packed"
+        ds, db_tile=512, query_batch=32, scan_impl="xla_packed",
+        l2_min_w=1,                # run level 2 (nt = 128 here)
     )
-    eng._l2_min_w = 1              # run level 2 (nt = 128 here)
     assert ds.n // 512 >= 128
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
@@ -181,9 +189,8 @@ def test_level2_reduce_exact_with_certificate():
     # must still restore exactness with level 2 active
     ds2, qs2 = _adversarial_pair(n=65536)
     eng2 = BatchedEngine(
-        ds2, db_tile=512, query_batch=8, scan_impl="xla_packed"
+        ds2, db_tile=512, query_batch=8, scan_impl="xla_packed", l2_min_w=1
     )
-    eng2._l2_min_w = 1
     oids2, odists2 = search_oracle(ds2, qs2)
     ids2, dists2 = eng2.search(qs2)
     assert recall_at_k(ids2, oids2, dists2, odists2) == 1.0
@@ -199,11 +206,51 @@ def test_level2_skipped_when_tiles_too_few():
     eng = BatchedEngine(
         ds, db_tile=2048, query_batch=64, scan_impl="xla_deferred",
         certified=False,              # no safety net: must not lose
+        l2_min_w=1,                   # nt = 30 → guard must refuse
     )
-    eng._l2_min_w = 1                 # nt = 30 → guard must refuse
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_certificate_slack_boundary_stress():
+    """Empirical sweep of the certificate's fp-slack boundary.
+
+    Large-norm vectors maximize the absolute error the selection matmul can
+    accumulate (the slack model's _CERT_REL_MM·(‖q‖²+max‖d‖²) term), and
+    near-identical distances concentrated at the k-th boundary make any
+    sub-slack selection error visible as a recall loss. At every scale the
+    result must stay oracle-exact — either the fast path got it right or
+    the certificate flagged and the ladder repaired it."""
+    from hvq_tpu.utils.formats import QuerySet
+
+    for scale in (1.0, 64.0, 4096.0):
+        ds = generate_dataset(16384, seed=33, categories=20)
+        qs = generate_queries(8, seed=34, categories=20, types=(0,))
+        rng = np.random.default_rng(35)
+        V = (ds.V * scale).astype(np.float32)
+        qV = (qs.V * scale).astype(np.float32)
+        # 64 rows on a near-exact sphere around query 0: ties at the k-th
+        # distance within ~1e-7 relative — far inside the slack band.
+        dirs = rng.standard_normal((64, V.shape[1])).astype(np.float64)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        radius = 0.1 * scale * (1.0 + 1e-7 * rng.standard_normal((64, 1)))
+        V[:64] = (qV[0].astype(np.float64) + radius * dirs).astype(np.float32)
+        ds = Dataset(C=ds.C, T=ds.T, V=V)
+        qs = QuerySet(qtype=qs.qtype, v=qs.v, l=qs.l, r=qs.r, V=qV)
+        eng = BatchedEngine(ds, query_batch=8, scan_impl="xla_packed")
+        oids, odists = search_oracle(ds, qs)
+        ids, dists = eng.search(qs)
+        # The 0.002 absolute tolerance is calibrated for unit-scale data;
+        # at scale s the fp32 ulp of a distance itself exceeds it, so the
+        # contract here is relative: a *selection* miss confuses a sphere
+        # row (d ≈ (0.1s)²) with a random row (d ≈ ‖q‖²+‖d‖²) — an error
+        # ~1e4× any fp noise. Query 0's top-64 must be exactly the sphere.
+        assert set(ids[0][:64].tolist()) == set(range(64)), scale
+        tol = max(0.002, 1e-5 * float(odists.max()))
+        assert (
+            recall_at_k(ids, oids, dists, odists, tolerance=tol) == 1.0
+        ), scale
 
 
 def test_random_layout_rarely_falls_back():

@@ -123,13 +123,37 @@ def main() -> None:
         engine.search(warm, **search_kw)
         engine.search(warm, **search_kw)  # second call = steady-state sanity
 
+    # Host HW counters bracket the timed region like the reference's
+    # PerfEvent around vec_query (src/test.cpp:82-92); the engine's
+    # PhaseTimer records the in-search pack/enqueue/fetch/rerun split.
+    from hvq_tpu.native import PerfCounters
+
+    search_timer = PhaseTimer()
+    if "phases" in inspect.signature(base_search).parameters:
+        search_kw["phases"] = search_timer
     with timer.phase("search"):
         t0 = time.perf_counter()
-        ids, dists = engine.search(qs, **search_kw)
+        with PerfCounters() as pc:
+            ids, dists = engine.search(qs, **search_kw)
         wall = time.perf_counter() - t0
 
     qps = q / wall
     extra = {}
+    if search_timer.totals:
+        extra["search_phases_ms"] = {
+            name.removeprefix("search/"): round(t * 1e3, 1)
+            for name, t in sorted(search_timer.totals.items())
+        }
+    if pc.values:
+        rep = pc.report()
+        extra["host_counters"] = {
+            k: round(v, 3) for k, v in rep.items() if k in ("IPC", "GHz")
+        }
+        for name in ("cycles", "instructions", "LLC_misses"):
+            if name in rep:
+                extra["host_counters"][f"{name}_per_query"] = round(
+                    rep[name] / max(q, 1), 1
+                )
     check_n = int(os.environ.get("HVQ_BENCH_CHECK", 5))
     if check_n:
         from hvq_tpu.models.oracle import search_oracle

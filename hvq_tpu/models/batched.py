@@ -312,7 +312,7 @@ class BatchedEngine:
         # the choice (constructor-only: it is baked into jit cache keys).
         if bin_top is not None:
             self.bin_top = bin_top
-        elif self.scan_impl == "pallas":
+        elif self.scan_impl in ("pallas", "pallas_v2"):
             self.bin_top = kernel_bin_top(
                 self.db.db_tile, self.db.n_pad, kprime,
                 certified=self.certified,
@@ -322,7 +322,8 @@ class BatchedEngine:
                 self.db.n_pad, kprime, certified=self.certified
             )
         if (
-            self.scan_impl in ("pallas", "xla_deferred", "xla_packed")
+            self.scan_impl
+            in ("pallas", "pallas_v2", "xla_deferred", "xla_packed")
             and self.bin_top is None
         ):
             self.scan_impl = "xla"
@@ -404,7 +405,7 @@ class BatchedEngine:
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         Dt = self.db.db_tile
         nt = self.db.n_pad // Dt
-        if impl in ("pallas", "xla_deferred", "xla_packed"):
+        if impl in ("pallas", "pallas_v2", "xla_deferred", "xla_packed"):
             if impl == "pallas":
                 out_s, out_i = fused_packed_scan(
                     Vp, Cf, Tf, dnf, self._pos,
@@ -412,6 +413,16 @@ class BatchedEngine:
                     db_tile=Dt, bin_top=bin_top,
                     interpret=self.interpret,
                     precision=self.precision,
+                )
+            elif impl == "pallas_v2":
+                from hvq_tpu.ops.pallas_scan import fused_packed_scan_v2
+
+                out_s, out_i = fused_packed_scan_v2(
+                    Vp, Cf, Tf, dnf, self._pos,
+                    qV, active_c, vv, active_t, ll, rr, sn,
+                    db_tile=Dt, bin_top=bin_top,
+                    b_block=min(256, B),
+                    interpret=self.interpret,
                 )
             elif impl == "xla_packed":
                 out_s, out_i = deferred_packed_scan_xla(
@@ -620,7 +631,9 @@ class BatchedEngine:
            deeper scan (adversarial bin-concentrated layouts).
         """
         deeper = None
-        if self.scan_impl in ("pallas", "xla_packed", "xla_deferred"):
+        if self.scan_impl in (
+            "pallas", "pallas_v2", "xla_packed", "xla_deferred"
+        ):
             d = min(2 * self.bin_top, BIN)
             deeper = d if d > self.bin_top else None
         db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)

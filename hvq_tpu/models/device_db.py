@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from hvq_tpu import constants as _c
-from hvq_tpu.ops.distance import pad_vectors_np
 from hvq_tpu.utils.formats import Dataset
 
 
@@ -61,26 +60,21 @@ class DeviceDB:
         mult = row_multiple or db_tile
         n = ds.n
         n_pad = -(-n // mult) * mult
-        Vp_host = pad_vectors_np(ds.V.astype(np.float32), _c.PADDED_DIM)
-        if n_pad != n:
-            Vp_host = np.concatenate(
-                [Vp_host, np.zeros((n_pad - n, _c.PADDED_DIM), np.float32)]
-            )
+        # ONE padded host buffer, filled in place (at 10⁷ rows the old
+        # pad-then-concatenate chain allocated and copied the ~5 GB block
+        # twice before the upload even started).
+        Vp_host = np.zeros((n_pad, _c.PADDED_DIM), np.float32)
+        Vp_host[:n, : ds.V.shape[1]] = ds.V
         C = np.zeros(n_pad, np.float32)
         C[:n] = ds.C
         T = np.zeros(n_pad, np.float32)
         T[:n] = ds.T
         Vp_dev = jnp.asarray(Vp_host, dtype=dtype)
-        if dtype == jnp.float32:
-            d_norms = jnp.asarray(
-                np.einsum("nd,nd->n", Vp_host, Vp_host).astype(np.float32)
-            )
-        else:
-            # low-precision storage: norms must describe the *stored*
-            # (rounded) vectors or the expansion scores carry a per-row bias
-            d_norms = jnp.sum(
-                Vp_dev.astype(jnp.float32) ** 2, axis=1
-            )
+        # ‖d‖² on DEVICE from the uploaded block: skips the host einsum
+        # over the 5 GB buffer and the extra 40 MB relay upload. For
+        # low-precision storage this also automatically describes the
+        # *stored* (rounded) vectors, as the expansion requires.
+        d_norms = jnp.sum(Vp_dev.astype(jnp.float32) ** 2, axis=1)
         return cls(
             Vp=Vp_dev,
             C=jnp.asarray(C),

@@ -313,12 +313,49 @@ def deferred_bin_scan_xla(
     return out_s, out_i
 
 
+def packed_top2_tournament(packed):
+    """(min1, min2) per bin from packed keys via a balanced min/max tree.
+
+    ``packed``: (B, bins, BIN) int32 order-preserving keys. The round-based
+    top-2 (min-reduce, broadcast the winner back, mask, min-reduce again)
+    costs two full lane-reduces plus a full-width select — the measured
+    structural floor of the scan (DESIGN.md §3 "rounds are the floor").
+    The tournament carries (best, second) pairs up a binary tree instead:
+    4 min/max ops per level on *halving* widths ≈ one full-width pass
+    total, and — crucially for XLA — the dataflow is a pure tree with no
+    reduce→broadcast→re-reduce dependency, so the whole selection fuses
+    into the score tile's consumer fusion instead of forcing the (B, Dt)
+    packed tensor to materialize between rounds.
+
+    Keys are distinct by construction (lane id in the low bits), so the
+    top-2 multiset equals the two round winners exactly.
+    """
+    m1 = packed
+    m2 = None
+    while m1.shape[-1] > 1:
+        h = m1.shape[-1] // 2
+        a1 = m1[..., :h]
+        b1 = m1[..., h:]
+        lo = jnp.minimum(a1, b1)
+        hi = jnp.maximum(a1, b1)
+        if m2 is None:
+            m1, m2 = lo, hi
+        else:
+            a2 = m2[..., :h]
+            b2 = m2[..., h:]
+            m1 = lo
+            m2 = jnp.minimum(hi, jnp.minimum(a2, b2))
+    return m1[..., 0], m2[..., 0]
+
+
 def deferred_packed_scan_xla(
     Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
     db_tile=8192, bin_top=2,
     precision=jax.lax.Precision.HIGHEST,
     qnorm=None,
     unroll=8,
+    reduce_impl: str = "auto",
+    masked: bool = True,
 ):
     """Packed-key variant of the deferred bin scan — the fast TPU path.
 
@@ -336,6 +373,12 @@ def deferred_packed_scan_xla(
     Returns (dist (B, W) float32 [low bits zeroed, +inf = empty],
              pos (B, W) int32 row positions). ``oid`` only drives the
     sample-proportion mask; positions are the payload.
+
+    ``reduce_impl``: "rounds" (min → mask winner → min), "tournament"
+    (:func:`packed_top2_tournament`, bin_top == 2 only), or "auto"
+    (tournament when bin_top == 2). ``masked=False`` statically drops the
+    predicate/sample mask — the engine uses it for all-type-0 batches at
+    sample_proportion == 1, removing ~9 VPU ops per row.
     """
     n_pad, d = Vp.shape
     nt = n_pad // db_tile
@@ -359,6 +402,10 @@ def deferred_packed_scan_xla(
         oid.reshape(nt, db_tile).astype(jnp.int32),
     )
 
+    tournament = reduce_impl == "tournament" or (
+        reduce_impl == "auto" and bin_top == 2
+    )
+
     def step(_, tile):
         V_t, C_t, T_t, dn_t, oid_t = tile
         scores = dn_t[None, :] - 2.0 * jax.lax.dot_general(
@@ -368,17 +415,21 @@ def deferred_packed_scan_xla(
             preferred_element_type=jnp.float32,
         )
         dist = jnp.maximum(scores + qnorm[:, None], 0.0)
-        ok = oid_t[None, :] < sn
-        ok &= (~active_c[:, None]) | (C_t[None, :] == v[:, None])
-        ok &= (~active_t[:, None]) | (
-            (T_t[None, :] >= l[:, None]) & (T_t[None, :] <= r[:, None])
-        )
-        dist = jnp.where(ok, dist, jnp.inf)
+        if masked:
+            ok = oid_t[None, :] < sn
+            ok &= (~active_c[:, None]) | (C_t[None, :] == v[:, None])
+            ok &= (~active_t[:, None]) | (
+                (T_t[None, :] >= l[:, None]) & (T_t[None, :] <= r[:, None])
+            )
+            dist = jnp.where(ok, dist, jnp.inf)
 
         d3 = dist.reshape(B, bins, BIN)
         packed = (
             jax.lax.bitcast_convert_type(d3, jnp.int32) & jnp.int32(~0x7F)
         ) | lane_iota
+        if tournament:
+            m1, m2 = packed_top2_tournament(packed)
+            return None, jnp.stack([m1, m2], axis=1)  # (B, 2, bins)
         outs = []
         for rnd in range(bin_top):
             m = jnp.min(packed, axis=2)              # (B, bins) packed key
@@ -603,6 +654,187 @@ def fused_packed_scan(
         dn.reshape(1, -1),
         oid.reshape(1, -1).astype(jnp.int32),
         qf32,
+        qnorm,
+        active_c.astype(jnp.int32).reshape(B, 1),
+        v.astype(jnp.float32).reshape(B, 1),
+        active_t.astype(jnp.int32).reshape(B, 1),
+        l.astype(jnp.float32).reshape(B, 1),
+        r.astype(jnp.float32).reshape(B, 1),
+    )
+
+    # unpack: position = tile*Dt + bin*BIN + lane (identical decomposition
+    # to deferred_packed_scan_xla — round-major layout inside each tile)
+    W = nt * out_w
+    colw = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    tile_idx = colw // out_w
+    bin_idx = colw % bins
+    lane = packed_out & jnp.int32(0x7F)
+    pos = tile_idx * db_tile + bin_idx * BIN + lane
+    dist = jax.lax.bitcast_convert_type(
+        packed_out & jnp.int32(~0x7F), jnp.float32
+    )
+    return dist, pos
+
+
+def _make_packed_kernel_v2(bin_top: int):
+    def _kernel(
+        sn_ref,                       # SMEM scalar-prefetch: scan limit
+        V_ref,                        # (Dt, 128) fp32 database tile
+        C_ref, T_ref, dn_ref,         # (1, Dt) attribute / norm rows
+        oid_ref,                      # (1, Dt) int32 original ids (sn mask)
+        qhi_ref, qlo_ref,             # (Bb, 128) bf16 query planes
+        qn_ref,                       # (Bb, 1) query squared norms fp32
+        ac_ref, v_ref, at_ref, l_ref, r_ref,  # (Bb, 1) predicate fields
+        out_ref,                      # (Bb, bin_top * Dt/BIN) int32 keys
+    ):
+        Dt = V_ref.shape[0]
+        B = qhi_ref.shape[0]
+        bins = Dt // BIN
+
+        # Manual 3-pass bf16 matmul (the XLA Precision.HIGH algorithm —
+        # Mosaic's dot supports only DEFAULT/HIGHEST, and HIGHEST is the
+        # 6-pass fp32 emulation that made kernel v1 lose; see DESIGN §3).
+        # V splits into bf16 planes in VMEM (hi + lo captures 16 mantissa
+        # bits); the dropped lo·lo term is ≲2⁻³² relative. Total error
+        # ≈ 2⁻²¹·‖q‖‖d‖ — inside the certificate's slack model.
+        V = V_ref[:]
+        Vhi = V.astype(jnp.bfloat16)
+        Vlo = (V - Vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        qd = mm(qhi_ref[:], Vhi) + mm(qhi_ref[:], Vlo) + mm(qlo_ref[:], Vhi)
+        dist = jnp.maximum(
+            dn_ref[0, :][None, :] - 2.0 * qd + qn_ref[:], 0.0
+        )
+
+        # VPU: fused predicate mask (reference optimized.hpp:84-117)
+        ok = oid_ref[0, :][None, :] < sn_ref[0]
+        ok &= jnp.logical_or(ac_ref[:] == 0, C_ref[0, :][None, :] == v_ref[:])
+        ok &= jnp.logical_or(
+            at_ref[:] == 0,
+            jnp.logical_and(T_ref[0, :][None, :] >= l_ref[:],
+                            T_ref[0, :][None, :] <= r_ref[:]),
+        )
+        dist = jnp.where(ok, dist, jnp.inf)
+
+        # packed keys — bitcast(dist) & ~0x7F | lane; each bin round is one
+        # min-reduce over VMEM-resident data.
+        d3 = dist.reshape(B, bins, BIN)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, bins, BIN), 2)
+        packed = (
+            pltpu.bitcast(d3, jnp.int32) & jnp.int32(~0x7F)
+        ) | lane_iota
+        for rnd in range(bin_top):
+            m = jnp.min(packed, axis=2)              # (Bb, bins)
+            out_ref[:, rnd * bins : (rnd + 1) * bins] = m
+            if rnd + 1 < bin_top:
+                packed = jnp.where(
+                    lane_iota == (m & jnp.int32(0x7F))[:, :, None],
+                    jnp.int32(0x7F800000), packed,
+                )
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("db_tile", "bin_top", "b_block", "interpret"),
+)
+def fused_packed_scan_v2(
+    Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
+    db_tile: int = 8192,
+    bin_top: int = 2,
+    b_block: int = 256,
+    interpret: bool = False,
+):
+    """Kernel v1 retuned (VERDICT r1 weak #6): selection-grade 3-pass bf16
+    matmul expressed manually (Mosaic has no Precision.HIGH) and a
+    B-subtiled grid so the (Bb, Dt) score tile + keys stay ~16 MB of VMEM
+    at any query-batch size. Grid order (tile, b) keeps each database tile
+    resident across the b steps — HBM still reads the database once.
+
+    Same output contract as :func:`deferred_packed_scan_xla`.
+    """
+    n_pad, d = Vp.shape
+    if n_pad % db_tile:
+        raise ValueError(f"n_pad {n_pad} not divisible by db_tile {db_tile}")
+    if db_tile % BIN:
+        raise ValueError(f"db_tile {db_tile} not divisible by bin {BIN}")
+    B = qV.shape[0]
+    b_block = min(b_block, B)
+    if B % b_block:
+        raise ValueError(f"B {B} not divisible by b_block {b_block}")
+    nt = n_pad // db_tile
+    nb = B // b_block
+    bins = db_tile // BIN
+    out_w = bin_top * bins
+    if out_w % 128:
+        raise ValueError(
+            f"bin_top*bins = {out_w} must be a multiple of 128 "
+            "(Mosaic output block constraint); see kernel_bin_top"
+        )
+
+    qf32 = qV.astype(jnp.float32)
+    qhi = qf32.astype(jnp.bfloat16)
+    qlo = (qf32 - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    qnorm = jnp.sum(qf32 * qf32, axis=1, keepdims=True)   # (B, 1)
+
+    tile_row = lambda i, b, *_: (i, 0)   # DB tile: marches over i, b-invariant
+    tile_col = lambda i, b, *_: (0, i)
+    qrow = lambda i, b, *_: (b, 0)       # query blocks: march over b
+    out_ix = lambda i, b, *_: (b, i)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt, nb),
+        in_specs=[
+            pl.BlockSpec((db_tile, d), tile_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), tile_col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), tile_col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), tile_col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), tile_col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, d), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, d), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_block, out_w), out_ix, memory_space=pltpu.VMEM),
+        ],
+    )
+
+    (packed_out,) = pl.pallas_call(
+        _make_packed_kernel_v2(bin_top),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, nt * out_w), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * d,
+            bytes_accessed=n_pad * d * 4 + B * nt * out_w * 4,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(sn, jnp.int32).reshape(1),
+        Vp.astype(jnp.float32),
+        C.reshape(1, -1),
+        T.reshape(1, -1),
+        dn.reshape(1, -1),
+        oid.reshape(1, -1).astype(jnp.int32),
+        qhi,
+        qlo,
         qnorm,
         active_c.astype(jnp.int32).reshape(B, 1),
         v.astype(jnp.float32).reshape(B, 1),

@@ -1,7 +1,10 @@
 #!/usr/bin/env bash
 # Differential run harness — the reference run.sh analogue: run the oracle
-# and the optimized engines on the same D/Q, then pairwise-compare the
-# .dist files under the 0.002 tolerance (reference run.sh:8-18).
+# and ALL optimized engines on the same D/Q, then pairwise-compare the
+# .dist files under the 0.002 tolerance (reference run.sh:8-18). The exact
+# engines (batched, sharded, partitioned) must come back "same"/"similar";
+# ivf is approximate by design, so it gets a recall line against the
+# oracle instead of strict .dist equality.
 #
 # Usage: ./run.sh [N] [M] [workdir]
 set -euo pipefail
@@ -22,7 +25,7 @@ echo "== generating D=$N Q=$M (discretized C) =="
 python -m hvq_tpu.cli gen-data "$DIR/data.bin" "$N" --categories 100
 python -m hvq_tpu.cli gen-queries "$DIR/query.bin" "$M" --categories 100
 
-for ENGINE in oracle batched sharded; do
+for ENGINE in oracle batched sharded partitioned ivf; do
   echo "== engine: $ENGINE =="
   python -m hvq_tpu.cli run \
     --data "$DIR/data.bin" --queries "$DIR/query.bin" \
@@ -32,5 +35,25 @@ for ENGINE in oracle batched sharded; do
   tail -2 "$DIR/logs/$ENGINE.txt"
 done
 
-echo "== differential comparison =="
-python -m hvq_tpu.cli compare "$DIR/oracle.bin" "$DIR/batched.bin" "$DIR/sharded.bin"
+echo "== differential comparison (exact engines) =="
+python -m hvq_tpu.cli compare \
+  "$DIR/oracle.bin" "$DIR/batched.bin" "$DIR/sharded.bin" "$DIR/partitioned.bin"
+
+echo "== ivf recall vs oracle =="
+python - "$DIR" <<'EOF'
+import sys
+
+import numpy as np
+
+from hvq_tpu.utils import formats
+from hvq_tpu.utils.compare import recall_at_k
+
+d = sys.argv[1]
+oracle = formats.read_knn(f"{d}/oracle.bin")
+ivf = formats.read_knn(f"{d}/ivf.bin")
+od = formats.read_dist(f"{d}/oracle.bin.dist")
+ivd = formats.read_dist(f"{d}/ivf.bin.dist")
+rec = recall_at_k(ivf, oracle, ivd, od)
+print(f"ivf recall@100 vs oracle: {rec:.4f}")
+sys.exit(0 if rec >= 0.99 else 2)
+EOF

@@ -134,3 +134,45 @@ def test_track_host_memory():
         buf = np.ones((1024, 1024), np.float32)  # ~4 MB
         del buf
     assert mem["peak_bytes"] > 4_000_000
+
+
+def test_packed_tournament_equals_rounds():
+    """packed_top2_tournament must select the same top-2 keys per bin as
+    the round-based (min, mask winner, min) reduce — identical distances
+    everywhere and identical positions for every finite (non-empty) slot.
+    Empty slots (+inf) may legally differ in lane id: rounds re-uses the
+    masked-out INF_PACK (lane 0) while the tournament returns the next
+    distinct +inf key; finalize masks non-finite entries either way."""
+    import jax.numpy as jnp
+
+    from hvq_tpu.ops.pallas_scan import deferred_packed_scan_xla
+
+    rng = np.random.default_rng(0)
+    n, B = 4096, 32
+    Vp = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
+    C = jnp.floor(jnp.asarray(rng.uniform(0, 20, n).astype(np.float32)))
+    T = jnp.asarray(rng.uniform(-3, 3, n).astype(np.float32))
+    dn = jnp.sum(Vp * Vp, axis=1)
+    oid = jnp.arange(n, dtype=jnp.int32)
+    qV = jnp.asarray(rng.standard_normal((B, 128)).astype(np.float32))
+    ac = jnp.asarray(rng.uniform(size=B) < 0.5)
+    at = jnp.asarray(rng.uniform(size=B) < 0.5)
+    v = jnp.floor(jnp.asarray(rng.uniform(0, 20, B).astype(np.float32)))
+    l = jnp.asarray(rng.uniform(-3, 0, B).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0, 3, B).astype(np.float32))
+    sn = jnp.int32(n - 100)
+
+    for masked in (True, False):
+        d_r, p_r = deferred_packed_scan_xla(
+            Vp, C, T, dn, oid, qV, ac, v, at, l, r, sn,
+            db_tile=512, bin_top=2, reduce_impl="rounds", masked=masked,
+        )
+        d_t, p_t = deferred_packed_scan_xla(
+            Vp, C, T, dn, oid, qV, ac, v, at, l, r, sn,
+            db_tile=512, bin_top=2, reduce_impl="tournament", masked=masked,
+        )
+        d_r, d_t = np.asarray(d_r), np.asarray(d_t)
+        p_r, p_t = np.asarray(p_r), np.asarray(p_t)
+        np.testing.assert_array_equal(d_r, d_t)
+        finite = np.isfinite(d_r)
+        np.testing.assert_array_equal(p_r[finite], p_t[finite])

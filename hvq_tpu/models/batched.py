@@ -36,10 +36,13 @@ Scan implementations (``scan_impl``; measured ladder in CHANGELOG.md):
   packed distance+lane int32 keys: one min-reduce per bin round, candidate
   positions recovered arithmetically, one ``lax.top_k`` per batch. 14× the
   streaming-top-k path at 10⁶ rows; ~8× the exact path at 10⁴ rows.
-* ``"pallas"`` — the fused Pallas kernel (ops.pallas_scan): same algorithm
-  with the (B, Dt) score tile living only in VMEM. The intended default on
-  standard TPU runtimes; this build environment's axon relay hangs on
-  Mosaic compiles, so it's opt-in here.
+* ``"pallas"`` / ``"pallas_v2"`` — fused Mosaic kernels (ops.pallas_scan):
+  same algorithm with the (B, Dt) score tile living only in VMEM. v2 fixes
+  v1's silent 6-pass-fp32 matmul (Mosaic has no Precision.HIGH) with a
+  manual 3-pass bf16 expression and B-subtiling — 4.7× faster than v1,
+  yet still ~2× behind XLA's own fusion of the identical algorithm
+  (measured 54.8 vs 26.6 ms/batch at B=1024, 10⁶ rows). XLA wins here;
+  the kernels stay as differential references and options.
 * ``"xla_deferred"`` — the unpacked deferred variant (argmin + gather per
   bin round); kept for comparison.
 * ``"xla"`` — ``lax.scan`` with an exact per-tile ``lax.top_k`` merge
@@ -246,11 +249,11 @@ def rerun_suspect_ladder(
 
 
 def _default_scan_impl() -> str:
-    # NOTE: the fused Pallas kernel (scan_impl="pallas") is the intended
-    # default on TPU, but this build environment's axon relay hangs on any
-    # Mosaic kernel compile (even a trivial one — verified 2026-08-16), so
-    # the default is the same algorithm expressed in pure XLA with packed
-    # distance+lane keys. Flip to "pallas" on a standard TPU runtime.
+    # The packed deferred scan in pure XLA is the measured winner: the
+    # Mosaic kernels (v1 6-pass fp32; v2 manual 3-pass bf16 + B-subtiled)
+    # both lose to XLA's fusion of the same algorithm (DESIGN.md §3,
+    # round-2 measurements: v2 54.8 ms vs XLA 26.6 ms/batch at B=1024 on
+    # 10⁶ rows). They remain available as scan_impl="pallas"/"pallas_v2".
     return "xla_packed" if jax.devices()[0].platform == "tpu" else "xla"
 
 

@@ -374,9 +374,10 @@ def deferred_packed_scan_xla(
              pos (B, W) int32 row positions). ``oid`` only drives the
     sample-proportion mask; positions are the payload.
 
-    ``reduce_impl``: "rounds" (min → mask winner → min), "tournament"
-    (:func:`packed_top2_tournament`, bin_top == 2 only), or "auto"
-    (tournament when bin_top == 2). ``masked=False`` statically drops the
+    ``reduce_impl``: "rounds" (min → mask winner → min; the measured
+    winner — XLA's native lane-reduce beats the tournament tree 2×),
+    "tournament" (:func:`packed_top2_tournament`, bin_top == 2 only;
+    kept as a tested negative result), or "auto" (= rounds). ``masked=False`` statically drops the
     predicate/sample mask — the engine uses it for all-type-0 batches at
     sample_proportion == 1, removing ~9 VPU ops per row.
     """
@@ -402,9 +403,7 @@ def deferred_packed_scan_xla(
         oid.reshape(nt, db_tile).astype(jnp.int32),
     )
 
-    tournament = reduce_impl == "tournament" or (
-        reduce_impl == "auto" and bin_top == 2
-    )
+    tournament = reduce_impl == "tournament"
 
     def step(_, tile):
         V_t, C_t, T_t, dn_t, oid_t = tile

@@ -278,10 +278,16 @@ class BatchedEngine:
         certified: bool = True,
         bin_top: int | None = None,
         l2_min_w: int = 65536,
+        scan_layout: str = "axis1",
     ):
         self.scan_impl = (
             _default_scan_impl() if scan_impl == "auto" else scan_impl
         )
+        # Bin membership layout of the packed scan: "axis1" (strided
+        # groups, sublane reduce — measured 25% faster, rounds ~1.2 ms
+        # each) or "lane" (contiguous groups, lane reduce). Constructor-
+        # only; see ops.pallas_scan.deferred_packed_scan_xla.
+        self.scan_layout = scan_layout
         if db_tile is None:
             # 8192 rows/tile: XLA paths amortize per-step scan overhead; the
             # fused kernel gets out_w = 2·64 = 128 (Mosaic block constraint)
@@ -433,6 +439,7 @@ class BatchedEngine:
                     qV, active_c, vv, active_t, ll, rr, sn,
                     db_tile=Dt, bin_top=bin_top,
                     precision=self.precision,
+                    layout=self.scan_layout,
                 )
             else:
                 out_s, out_i = deferred_bin_scan_xla(

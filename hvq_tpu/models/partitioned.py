@@ -70,6 +70,7 @@ class PartitionedEngine:
         certified: bool = True,
         bin_top: int | None = None,
         l2_min_w: int = 65536,
+        scan_layout: str = "axis1",
     ):
         self.index = index or PartitionedIndex.build(
             ds, db_tile=db_tile, dtype=dtype
@@ -119,6 +120,7 @@ class PartitionedEngine:
         # see BatchedEngine.l2_min_w (constructor-only: baked into the
         # traced program at first compile)
         self.l2_min_w = l2_min_w
+        self.scan_layout = scan_layout
         self.dispatch_group = dispatch_group
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top", "level2")
@@ -228,6 +230,7 @@ class PartitionedEngine:
             qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
             db_tile=db_tile, bin_top=bin_top,
             precision=self.precision,
+            layout=self.scan_layout,
         )
         W = out_s.shape[1]
         kp = min(self.kprime, W)

@@ -84,6 +84,7 @@ class ShardedEngine:
         certified: bool = True,
         bin_top: int | None = None,
         l2_min_w: int = 65536,
+        scan_layout: str = "axis1",
     ):
         self.mesh = mesh or make_mesh()
         self.dispatch_group = dispatch_group
@@ -163,6 +164,7 @@ class ShardedEngine:
         # see BatchedEngine.l2_min_w (constructor-only: baked into the
         # traced program at first compile)
         self.l2_min_w = l2_min_w
+        self.scan_layout = scan_layout
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("k", "impl", "bin_top", "level2"),
@@ -253,6 +255,7 @@ class ShardedEngine:
                         qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
                         db_tile=db_tile, bin_top=bin_top,
                         precision=precision,
+                        layout=self.scan_layout,
                     )
                     out_i = out_i + offset  # local positions → global ids
                 else:

@@ -22,23 +22,29 @@ from hvq_tpu.utils.generators import generate_dataset, generate_queries
 from conftest import assert_results_match
 
 
-def _adversarial_pair(n=16384, hot=32, seed=3):
-    """Dataset whose ``hot`` nearest rows for query 0 all share bin 0.
+def _adversarial_pair(n=16384, hot=32, seed=3, db_tile=8192):
+    """Dataset whose ``hot`` nearest rows for query 0 all share one bin.
 
-    Rows 0..hot-1 are tiny perturbations of the query vector; with
-    hot > R (the certified bin depth at this n is R=10) the bin reduce
-    MUST lose some of them — only the certificate saves the result.
+    The hot rows are tiny perturbations of the query vector placed at the
+    positions of ONE bin of the default "axis1" scan layout — tile 0's
+    strided group {0, bins, 2·bins, …} with bins = db_tile/128
+    (ops.pallas_scan.deferred_packed_scan_xla). With hot > R the bin
+    reduce MUST lose some of them — only the certificate saves the
+    result. Returns (ds, qs, hot_positions).
     """
     ds = generate_dataset(n, seed=seed, categories=20)
     qs = generate_queries(8, seed=seed + 1, categories=20, types=(0,))
     rng = np.random.default_rng(seed + 2)
     V = ds.V.copy()
-    V[:hot] = qs.V[0][None, :] + 1e-3 * rng.standard_normal((hot, V.shape[1]))
-    return Dataset(C=ds.C, T=ds.T, V=V.astype(np.float32)), qs
+    bins = db_tile // 128
+    assert hot <= 128 and hot * bins <= min(n, db_tile)
+    pos = np.arange(hot) * bins          # slice j of bin 0, tile 0
+    V[pos] = qs.V[0][None, :] + 1e-3 * rng.standard_normal((hot, V.shape[1]))
+    return Dataset(C=ds.C, T=ds.T, V=V.astype(np.float32)), qs, pos
 
 
 def test_adversarial_bin_concentration_triggers_fallback():
-    ds, qs = _adversarial_pair()
+    ds, qs, hot_pos = _adversarial_pair()
     eng = BatchedEngine(ds, query_batch=8, scan_impl="xla_packed")
     assert eng.certified and eng.bin_top < 32
 
@@ -56,7 +62,7 @@ def test_adversarial_bin_concentration_triggers_fallback():
     assert_results_match(ds, qs, ids, dists, oids, odists)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
     # the concentrated rows really are the query's nearest neighbors
-    assert set(range(16)) <= set(ids[0][:32].tolist())
+    assert set(hot_pos[:16].tolist()) <= set(ids[0][:32].tolist())
 
 
 def test_uncertified_packed_scan_loses_the_concentrated_bin():
@@ -65,7 +71,7 @@ def test_uncertified_packed_scan_loses_the_concentrated_bin():
     certified R), recall for the concentrated query drops below 1."""
     from hvq_tpu.ops.pallas_scan import choose_bin_top
 
-    ds, qs = _adversarial_pair()
+    ds, qs, _ = _adversarial_pair()
     # keep the certified-mode R but drop the certificate (constructor-only:
     # both are baked into the jitted program)
     r_cert = choose_bin_top(16384, 128, certified=True)
@@ -85,7 +91,7 @@ def test_sharded_adversarial_bin_concentration_triggers_fallback():
     shard's bins must still flag the whole sharded scan."""
     from hvq_tpu.models.sharded import ShardedEngine
 
-    ds, qs = _adversarial_pair()
+    ds, qs, _ = _adversarial_pair(db_tile=512)
     eng = ShardedEngine(
         ds, db_tile=512, query_batch=8, scan_impl="xla_packed"
     )
@@ -139,7 +145,11 @@ def test_partitioned_full_path_certificate():
     a type-0 query must flag and the ladder must restore exactness."""
     from hvq_tpu.models.partitioned import PartitionedEngine
 
-    n, hot = 16384, 40
+    # Under the default axis1 layout, bins are STRIDED position groups, so
+    # a contiguous hot block concentrates a bin only when it wraps every
+    # bin > R times: hot = (R+1)·bins consecutive view rows (R=10 at this
+    # n, bins = 8192/128 = 64 → 704 rows).
+    n, hot = 16384, 704
     ds = generate_dataset(n, seed=5, categories=20)
     qs = generate_queries(8, seed=6, categories=20, types=(0,))
     rng = np.random.default_rng(7)
@@ -147,7 +157,9 @@ def test_partitioned_full_path_certificate():
     C = ds.C.copy()
     V[:hot] = qs.V[0][None, :] + 1e-3 * rng.standard_normal((hot, V.shape[1]))
     # a category value no other row uses → the hot rows become their own
-    # contiguous partition in the category-sorted view (same bins)
+    # contiguous partition in the category-sorted view, wrapping every
+    # strided bin of their tile (R+1)× — the concentration the bin reduce
+    # must lose and the certificate must catch
     C[:hot] = C.max() + 1.0
     ds = Dataset(C=C, T=ds.T, V=V.astype(np.float32))
 
@@ -187,7 +199,7 @@ def test_level2_reduce_exact_with_certificate():
 
     # adversarial: hot rows share level-1 bins; the certificate + ladder
     # must still restore exactness with level 2 active
-    ds2, qs2 = _adversarial_pair(n=65536)
+    ds2, qs2, _ = _adversarial_pair(n=65536, db_tile=512)
     eng2 = BatchedEngine(
         ds2, db_tile=512, query_batch=8, scan_impl="xla_packed", l2_min_w=1
     )

@@ -91,6 +91,7 @@ def binned_stream_topk(
     kp: int,
     rounds: int = 8,
     nt: int | None = None,
+    layout: str = "axis1",
 ):
     """Second-level packed bin reduce before the final candidate top_k.
 
@@ -106,18 +107,25 @@ def binned_stream_topk(
     data, so the certificate — not the Poisson bound alone — carries
     soundness).
 
-    ``nt`` (the tile count of a tile-major stream) decorrelates the bins:
-    the stream transposes to (bin-slot, tile) order first, so each
-    128-column bin samples ACROSS tiles — tile-major order concentrates
-    one tile's near-ties into one bin and trips the certificate on dense
-    neighborhoods (measured: one such query per 10⁴ once forced a
-    streaming rerun).
+    Decorrelation: tile-major streams concentrate one tile's near-ties
+    into adjacent columns, which would saturate a contiguous bin and trip
+    the certificate on dense neighborhoods (measured: one such query per
+    10⁴ once forced a streaming rerun).
+
+    * ``layout="axis1"`` (default): bins are STRIDED column groups
+      {b, b+bins2, …} reduced over the second-minor axis — members sample
+      across tiles *by construction*, so no transpose is needed at all,
+      and the reduce avoids cross-lane shuffles (same win as the level-1
+      axis1 scan layout, experiments/scan_anatomy4.py).
+    * ``layout="lane"``: contiguous 128-column bins, lane-axis reduce;
+      ``nt`` (the tile count) triggers an explicit (bin-slot, tile)
+      transpose first.
 
     Returns (scores (B, kp), ids (B, kp), worst2 (B,) — the min over bins
     of the ``rounds``-th kept value, +inf where bins never saturated).
     """
     B, W = out_s.shape
-    if nt is not None and nt > 1 and W % nt == 0:
+    if layout != "axis1" and nt is not None and nt > 1 and W % nt == 0:
         rb = W // nt
         out_s = out_s.reshape(B, nt, rb).swapaxes(1, 2).reshape(B, W)
         out_i = out_i.reshape(B, nt, rb).swapaxes(1, 2).reshape(B, W)
@@ -130,22 +138,28 @@ def binned_stream_topk(
     bins2 = Wp // BIN
     # the reduced stream must still be able to hold kp candidates
     rounds = min(max(rounds, -(-kp // bins2)), BIN)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bins2, BIN), 2)
+    if layout == "axis1":
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BIN, bins2), 1)
+        d3 = out_s.reshape(B, BIN, bins2)
+        red_axis = 1
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, bins2, BIN), 2)
+        d3 = out_s.reshape(B, bins2, BIN)
+        red_axis = 2
     packed = (
-        jax.lax.bitcast_convert_type(
-            out_s.reshape(B, bins2, BIN), jnp.int32
-        )
-        & jnp.int32(~0x7F)
+        jax.lax.bitcast_convert_type(d3, jnp.int32) & jnp.int32(~0x7F)
     ) | lane
     outs = []
     for rnd in range(rounds):
-        m = jnp.min(packed, axis=2)
+        m = jnp.min(packed, axis=red_axis)
         outs.append(m)
         if rnd + 1 < rounds:
-            packed = jnp.where(
-                lane == (m & jnp.int32(0x7F))[:, :, None],
-                jnp.int32(0x7F800000), packed,
+            sel = (
+                (m & jnp.int32(0x7F))[:, None, :]
+                if red_axis == 1
+                else (m & jnp.int32(0x7F))[:, :, None]
             )
+            packed = jnp.where(lane == sel, jnp.int32(0x7F800000), packed)
     keys = jnp.stack(outs, axis=1)                  # (B, rounds, bins2)
     worst2 = jnp.min(
         jax.lax.bitcast_convert_type(
@@ -154,7 +168,15 @@ def binned_stream_topk(
         axis=1,
     )
     colb = jax.lax.broadcasted_iota(jnp.int32, (1, rounds, bins2), 2)
-    col = (colb * BIN + (keys & jnp.int32(0x7F))).reshape(B, rounds * bins2)
+    if layout == "axis1":
+        # column = slice·bins2 + bin  (strided groups)
+        col = (
+            (keys & jnp.int32(0x7F)) * bins2 + colb
+        ).reshape(B, rounds * bins2)
+    else:
+        col = (
+            colb * BIN + (keys & jnp.int32(0x7F))
+        ).reshape(B, rounds * bins2)
     d2 = jax.lax.bitcast_convert_type(
         keys & jnp.int32(~0x7F), jnp.float32
     ).reshape(B, rounds * bins2)

@@ -81,6 +81,10 @@ def main() -> None:
         engine_kwargs["query_batch"] = int(os.environ["HVQ_BENCH_QB"])
     if os.environ.get("HVQ_BENCH_PRECISION"):
         engine_kwargs["precision"] = os.environ["HVQ_BENCH_PRECISION"]
+    if os.environ.get("HVQ_BENCH_BIN_TOP"):
+        engine_kwargs["bin_top"] = int(os.environ["HVQ_BENCH_BIN_TOP"])
+    if os.environ.get("HVQ_BENCH_SCAN_LAYOUT"):
+        engine_kwargs["scan_layout"] = os.environ["HVQ_BENCH_SCAN_LAYOUT"]
     if os.environ.get("HVQ_BENCH_DTYPE") == "bf16":
         import jax.numpy as jnp
 

@@ -161,7 +161,12 @@ class PerfCounters:
             self._lib.hvq_perf_stop(self._h)
             buf = (ctypes.c_double * 7)()
             self._lib.hvq_perf_read(self._h, buf)
-            self.values = dict(zip(PERF_COUNTER_NAMES, buf))
+            vals = dict(zip(PERF_COUNTER_NAMES, buf))
+            # perf_event_open can be denied per counter (containers with
+            # perf_event_paranoid/seccomp restrictions): failed fds read
+            # back negative. Keep only the counters that actually ran
+            # (often just task_clock) instead of reporting -1 columns.
+            self.values = {k: v for k, v in vals.items() if v >= 0}
         return False
 
     def close(self):

@@ -62,10 +62,27 @@ def _cmd_run(args) -> int:
     from hvq_tpu.utils import formats
     from hvq_tpu.utils.timing import PhaseTimer
 
+    # Overlap backend/device initialization (expensive through remote
+    # attachments — measured minutes via this environment's relay) with
+    # the host-side file reads.
+    import threading
+
+    def _warm_device():
+        try:
+            import jax.numpy as jnp
+
+            float(jnp.sum(jnp.ones(8)))
+        except Exception:
+            pass
+
+    init_t = threading.Thread(target=_warm_device, daemon=True)
+    init_t.start()
+
     timer = PhaseTimer()
     with timer.phase("read_data"):
         ds = formats.read_data_bin(args.data)
         qs = formats.read_query_bin(args.queries)
+    init_t.join()
     print(f"# data points:  {ds.n}", file=sys.stderr)
     print(f"# queries:      {qs.m}", file=sys.stderr)
 

@@ -102,6 +102,8 @@ def main() -> None:
         engine_kwargs["bin_top"] = int(os.environ["HVQ_BENCH_BIN_TOP"])
     if os.environ.get("HVQ_BENCH_SCAN_LAYOUT"):
         engine_kwargs["scan_layout"] = os.environ["HVQ_BENCH_SCAN_LAYOUT"]
+    if os.environ.get("HVQ_BENCH_L2W"):
+        engine_kwargs["l2_min_w"] = int(os.environ["HVQ_BENCH_L2W"])
     if os.environ.get("HVQ_BENCH_DTYPE") == "bf16":
         import jax.numpy as jnp
 

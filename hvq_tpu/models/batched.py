@@ -451,12 +451,20 @@ class BatchedEngine:
             W = out_s.shape[1]
             kp = min(self.kprime, W)
             worst2 = None
-            # nt >= 128: each level-2 bin must span ONE bin-slot across
-            # >= BIN tiles; at smaller nt the transposed bins aggregate the
-            # round-0 (per-bin-best) entries of many level-1 bins and the
-            # reduce concentrates exactly the top candidates (measured:
-            # recall 0.4 on filtered queries when forced at nt=30).
-            if level2 and W >= self.l2_min_w and nt >= 128:
+            # Level-2 gates. LANE layout: the explicit transpose needs
+            # nt >= 128 (fewer tiles aggregate the round-0 per-bin bests —
+            # measured recall 0.4 when forced at nt=30). AXIS1 layout:
+            # strided bins interleave the stream at any nt, but the BIN
+            # COUNT must keep the Poisson load light — W >= 16384 gives
+            # bins2 >= 128, so lam = kp/bins2 <= 1 and keep-8 loses
+            # < 1.4e-4/query (measured 8e-4 recall loss when forced at
+            # bins2 = 30 uncertified).
+            l2_ok = (
+                W >= 16384
+                if self.scan_layout == "axis1"
+                else nt >= 128
+            )
+            if level2 and W >= self.l2_min_w and l2_ok:
                 # 2nd-level packed reduce: the candidate top_k is the tail's
                 # main cost at wide streams (experiments/topk_tail.py);
                 # worst2 joins the certificate below, and nt= decorrelates
@@ -466,7 +474,7 @@ class BatchedEngine:
                 from hvq_tpu.ops.topk import binned_stream_topk
 
                 scores, ids, worst2 = binned_stream_topk(
-                    out_s, out_i, kp, nt=nt
+                    out_s, out_i, kp, nt=nt, layout=self.scan_layout
                 )
             else:
                 top_neg, idx = jax.lax.top_k(-out_s, kp)

@@ -236,12 +236,16 @@ class PartitionedEngine:
         kp = min(self.kprime, W)
         nt_v = Vp_view.shape[0] // db_tile
         worst2 = None
-        # nt >= 128: see BatchedEngine (level-2 decorrelation)
-        if level2 and W >= self.l2_min_w and nt_v >= 128:
+        # level-2 gates: see BatchedEngine (axis1 needs bins2 >= 128,
+        # lane needs nt >= 128)
+        l2_ok = (
+            W >= 16384 if self.scan_layout == "axis1" else nt_v >= 128
+        )
+        if level2 and W >= self.l2_min_w and l2_ok:
             from hvq_tpu.ops.topk import binned_stream_topk
 
             scores, cand_pos, worst2 = binned_stream_topk(
-                out_s, out_i, kp, nt=nt_v
+                out_s, out_i, kp, nt=nt_v, layout=self.scan_layout
             )
         else:
             top_neg, idx = jax.lax.top_k(-out_s, kp)

@@ -268,13 +268,18 @@ class ShardedEngine:
                 W = out_s.shape[1]
                 kp = min(kprime, W)
                 worst2 = None
-                # nt >= 128: see BatchedEngine (level-2 bins must
-                # decorrelate across tiles)
-                if level2 and W >= self.l2_min_w and nt >= 128:
+                # level-2 gates: see BatchedEngine (axis1 needs
+                # bins2 >= 128, lane needs nt >= 128)
+                l2_ok = (
+                    W >= 16384
+                    if self.scan_layout == "axis1"
+                    else nt >= 128
+                )
+                if level2 and W >= self.l2_min_w and l2_ok:
                     from hvq_tpu.ops.topk import binned_stream_topk
 
                     scores, gids, worst2 = binned_stream_topk(
-                        out_s, out_i, kp, nt=nt
+                        out_s, out_i, kp, nt=nt, layout=self.scan_layout
                     )
                 else:
                     top_neg, idx = jax.lax.top_k(-out_s, kp)

@@ -182,18 +182,34 @@ def test_partitioned_full_path_certificate():
 
 
 def test_level2_reduce_exact_with_certificate():
-    """Force the 2nd-level candidate reduce (engines gate it at wide
-    streams AND nt >= 128 for decorrelation): results must stay
-    oracle-exact, including on filtered queries."""
+    """Force the 2nd-level candidate reduce: results must stay
+    oracle-exact, including on filtered queries. bin_top=32 widens the
+    stream past the axis1 gate (W = 128·32·4 = 16384 = bins2 ≥ 128) so
+    level 2 genuinely runs; the spy asserts it did."""
+    from hvq_tpu.ops import topk as topk_ops
+
     ds = generate_dataset(65536, seed=13, categories=20)
     qs = generate_queries(32, seed=14, categories=20)
     eng = BatchedEngine(
         ds, db_tile=512, query_batch=32, scan_impl="xla_packed",
-        l2_min_w=1,                # run level 2 (nt = 128 here)
+        l2_min_w=1, bin_top=32,
     )
     assert ds.n // 512 >= 128
-    oids, odists = search_oracle(ds, qs)
-    ids, dists = eng.search(qs)
+
+    calls = []
+    orig = topk_ops.binned_stream_topk
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    topk_ops.binned_stream_topk = spy
+    try:
+        oids, odists = search_oracle(ds, qs)
+        ids, dists = eng.search(qs)
+    finally:
+        topk_ops.binned_stream_topk = orig
+    assert calls, "level-2 reduce should have traced"
     assert recall_at_k(ids, oids, dists, odists) == 1.0
     assert_results_match(ds, qs, ids, dists, oids, odists)
 
@@ -201,7 +217,8 @@ def test_level2_reduce_exact_with_certificate():
     # must still restore exactness with level 2 active
     ds2, qs2, _ = _adversarial_pair(n=65536, db_tile=512)
     eng2 = BatchedEngine(
-        ds2, db_tile=512, query_batch=8, scan_impl="xla_packed", l2_min_w=1
+        ds2, db_tile=512, query_batch=8, scan_impl="xla_packed",
+        l2_min_w=1, bin_top=32,
     )
     oids2, odists2 = search_oracle(ds2, qs2)
     ids2, dists2 = eng2.search(qs2)

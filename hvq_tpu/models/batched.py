@@ -277,7 +277,7 @@ class BatchedEngine:
         device_db: DeviceDB | None = None,
         certified: bool = True,
         bin_top: int | None = None,
-        l2_min_w: int = 65536,
+        l2_min_w: int = 16384,
         scan_layout: str = "axis1",
     ):
         self.scan_impl = (
@@ -366,11 +366,12 @@ class BatchedEngine:
         # representation cover every representable position by construction).
         self._id_mode = id_pack_mode(self.db.n_pad, _c.K_DEFAULT)
         # Candidate streams at least this wide go through the 2nd-level
-        # packed reduce before the final top_k. Measured: net-negative at
-        # the medium set's W=23616 (the reduce+transpose costs what the
-        # narrower top_k saves) but +12% end-to-end at the large set's
-        # W=156288. Constructor-only: the value is baked into the traced
-        # program at first compile.
+        # packed reduce before the final top_k. Round-1 (lane layout +
+        # transpose) was net-negative at the medium set's W=23616; the
+        # axis1 transpose-free form measured +5% there (16839 → 17727
+        # QPS) and +12% at the large set, so the gate now matches the
+        # soundness floor (W >= 16384 = bins2 >= 128). Constructor-only:
+        # baked into the traced program at first compile.
         self.l2_min_w = l2_min_w
         self._search_jit = jax.jit(
             self._search_batch,

@@ -69,7 +69,7 @@ class PartitionedEngine:
         dispatch_group: int = 8,
         certified: bool = True,
         bin_top: int | None = None,
-        l2_min_w: int = 65536,
+        l2_min_w: int = 16384,
         scan_layout: str = "axis1",
     ):
         self.index = index or PartitionedIndex.build(

@@ -83,7 +83,7 @@ class ShardedEngine:
         dispatch_group: int = 8,
         certified: bool = True,
         bin_top: int | None = None,
-        l2_min_w: int = 65536,
+        l2_min_w: int = 16384,
         scan_layout: str = "axis1",
     ):
         self.mesh = mesh or make_mesh()

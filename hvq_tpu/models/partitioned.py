@@ -5,18 +5,27 @@ failures one branch at a time (optimized.hpp:84-117). This engine instead
 resolves each query's predicate to a contiguous row range of a sorted view
 by host-side binary search (index.partition) and routes by range width:
 
-  narrow range  → ROUTED path: a ``lax.scan`` over the queries, each step
-                  ``dynamic_slice``-ing exactly its own contiguous candidate
-                  span from the view (plus bucket padding), one GEMV, one
-                  small top-k. Work is proportional to each query's
-                  selectivity — a type-1 query over 1000 categories touches
-                  ~0.1 % of the database instead of 100 %.
+  narrow range  → ROUTED path: queries sorted by range start are packed
+                  into GROUPS of ≤ ``route_group`` sharing one contiguous
+                  window (≤ a bucket cap); a ``lax.scan`` over the groups
+                  ``dynamic_slice``s each window once and scores all of its
+                  queries with ONE ``(G, 128) · (128, cap)`` MXU matmul +
+                  per-query predicate masks + one batched top-k. Work is
+                  proportional to each query's selectivity — a type-1 query
+                  over 1000 categories touches ~0.1 % of the database
+                  instead of 100 % — and the per-scan-step fixed cost
+                  (measured ~50 µs, the round-1 routed path's bottleneck at
+                  52 µs/query) amortizes over the group. Same-category
+                  type-1 queries have IDENTICAL windows, so they and the
+                  type-3 queries nested inside the partition pack into
+                  per-partition groups.
   wide range    → batched deferred full scan (the dense-MXU path); pruning
                   cannot beat a batched dense scan once most rows qualify.
 
 A per-BATCH tile union (the earlier design) is wrong for batched workloads:
 256 random categories union to more tiles than the database has — measured
-656 QPS vs the dense engine's ~8000. Per-query slices sidestep the union.
+656 QPS vs the dense engine's ~8000. Per-query slices sidestep the union;
+per-group windows keep the slice count sublinear in queries.
 
 Query → view mapping (index.partition.query_ranges):
   type 0          → cat_view, full range          (always the full path)
@@ -65,12 +74,20 @@ class PartitionedEngine:
         # B=1024) — a 262144 cap costs 128 MB/query and sinks the mixed
         # workload 3347 → 8557 QPS when dropped. Caps stay ≲ 32k.
         route_buckets: tuple[int, ...] = (4096, 32768),
+        route_group: int = 16,
         routed_batch: int | None = None,
         dispatch_group: int = 8,
         certified: bool = True,
         bin_top: int | None = None,
         l2_min_w: int = 16384,
         scan_layout: str = "axis1",
+        # Economics gate for the LAZY time view (a second full database
+        # copy in HBM + upload): only materialize once a single search
+        # carries enough narrow type-2 queries to amortize it, and never
+        # beyond the byte budget (the 10⁷ set is 5.1 GB/copy — two copies
+        # crowd a 16 GB chip for ~0.2 % of the mixed workload's queries).
+        time_view_min_queries: int = 4096,
+        time_view_max_bytes: int = 6_000_000_000,
     ):
         self.index = index or PartitionedIndex.build(
             ds, db_tile=db_tile, dtype=dtype
@@ -90,9 +107,28 @@ class PartitionedEngine:
             in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
         )
         n_pad = self.index.cat_view.n_pad
+        # Snug extra bucket for whole-partition (type-1) windows: the max
+        # category run length in the (C, T)-sorted view, rounded up. Without
+        # it a 10⁴-row partition rides the next power-of-two-ish cap — up to
+        # 3× the HBM read and top-k width per query. (+128 margin: group
+        # window starts are aligned DOWN to the lane multiple.)
+        ck = self.index.cat_view.C_key
+        if ck.size > 1:
+            bnd = np.flatnonzero(ck[1:] != ck[:-1]) + 1
+            wmax = int(np.diff(np.r_[0, bnd, ck.size]).max())
+        else:
+            wmax = int(ck.size)
+        cap_part = -(-(wmax + 128) // 512) * 512
+        buckets = set(route_buckets)
+        # Only ever INSERT an intermediate cap — the largest route_bucket
+        # still defines which spans are routable at all.
+        if buckets and kprime <= cap_part < max(buckets) and not any(
+            cap_part <= c < 2 * cap_part for c in buckets
+        ):
+            buckets.add(cap_part)
         # Bucketed span caps (≥ kprime so the routed top-k is well-formed,
         # ≤ n_pad so the dynamic slice fits), ascending, deduplicated.
-        caps = sorted({min(max(b, kprime), n_pad) for b in route_buckets})
+        caps = sorted({min(max(b, kprime), n_pad) for b in buckets})
         # Wide ranges use the deferred packed full scan — same algorithm as
         # BatchedEngine's default, including its exactness certificate +
         # compacted escalation. Bin collisions stay random because vectors
@@ -115,13 +151,19 @@ class PartitionedEngine:
             else 0.0
         )
         # Routed scans cost ~µs per query: pack many into one dispatch so
-        # the fixed host/relay round trip amortizes.
+        # the fixed host/relay round trip amortizes. Queries are packed
+        # route_group per shared window; a dispatch carries
+        # routed_batch/route_group groups.
+        self.route_group = max(1, int(route_group))
         self.routed_batch = routed_batch or 4 * query_batch
+        self.routed_groups = max(1, self.routed_batch // self.route_group)
         # see BatchedEngine.l2_min_w (constructor-only: baked into the
         # traced program at first compile)
         self.l2_min_w = l2_min_w
         self.scan_layout = scan_layout
         self.dispatch_group = dispatch_group
+        self.time_view_min_queries = time_view_min_queries
+        self.time_view_max_bytes = time_view_max_bytes
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top", "level2")
         )
@@ -141,58 +183,80 @@ class PartitionedEngine:
         self,
         Vp_view, C_view, T_view, dn_view, oid_view,  # flat view arrays
         tail_V,
-        starts, ends,            # (B,) int32 candidate spans per query
-        qV, qtype, v, l, r,
+        g_start,                 # (NG,) int32 shared window starts (aligned)
+        starts, ends,            # (NG, G) int32 candidate spans per query
+        qV, qtype, v, l, r,      # (NG*G, ...) flattened query batch
         sn, n,
         k: int,
         span_cap: int,
     ):
-        """Per-query contiguous-slice scan: work ∝ each query's selectivity.
+        """Grouped contiguous-window scan: work ∝ selectivity, steps ∝ groups.
 
-        Every row of [start, end) satisfies the query's predicate by
-        construction (the index range is exact), so the in-slice mask only
-        re-checks the range bounds, the sample-proportion limit over
-        ORIGINAL ids, and (cheaply, for robustness) the predicate itself.
+        Each scan step slices ONE shared [g_start, g_start+span_cap) window
+        and scores all G of its queries with a single (G, d)·(d, cap) MXU
+        matmul — the per-step fixed cost (the round-1 per-query GEMV path's
+        bottleneck, ~50 µs/step) amortizes over the group. Every row of a
+        query's [start, end) satisfies its predicate by construction (the
+        index range is exact), so the in-window mask only re-checks the
+        range bounds, the sample-proportion limit over ORIGINAL ids, and
+        (cheaply, for robustness) the predicate itself. Pad query slots
+        carry start == end == 0 → all-inf rows → pad ids from finalize.
         """
         active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
             qtype, v, l, r
         )
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         n_pad, d = Vp_view.shape
+        NG, G = starts.shape
         kp = min(self.kprime, span_cap)
         lane = jax.lax.broadcasted_iota(jnp.int32, (span_cap,), 0)
         precision = self.precision
 
         def step(_, xs):
-            start, end, qv, ac_i, v_i, at_i, l_i, r_i = xs
-            start_c = jnp.clip(start, 0, n_pad - span_cap)
-            rows = jax.lax.dynamic_slice(Vp_view, (start_c, 0), (span_cap, d))
-            Cr = jax.lax.dynamic_slice(C_view, (start_c,), (span_cap,))
-            Tr = jax.lax.dynamic_slice(T_view, (start_c,), (span_cap,))
-            dnr = jax.lax.dynamic_slice(dn_view, (start_c,), (span_cap,))
-            oidr = jax.lax.dynamic_slice(oid_view, (start_c,), (span_cap,))
+            gs, st, en, qv, ac, vq, at, lq, rq = xs
+            gs_c = jnp.clip(gs, 0, n_pad - span_cap)
+            rows = jax.lax.dynamic_slice(Vp_view, (gs_c, 0), (span_cap, d))
+            Cr = jax.lax.dynamic_slice(C_view, (gs_c,), (span_cap,))
+            Tr = jax.lax.dynamic_slice(T_view, (gs_c,), (span_cap,))
+            dnr = jax.lax.dynamic_slice(dn_view, (gs_c,), (span_cap,))
+            oidr = jax.lax.dynamic_slice(oid_view, (gs_c,), (span_cap,))
             qd = jax.lax.dot_general(
-                rows.astype(jnp.float32), qv,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                qv, rows.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=precision,
                 preferred_element_type=jnp.float32,
+            )                                            # (G, span_cap)
+            scores = dnr[None, :] - 2.0 * qd
+            pos = gs_c + lane                            # (span_cap,)
+            ok = (
+                (pos[None, :] >= st[:, None])
+                & (pos[None, :] < en[:, None])
+                & (oidr < sn)[None, :]
             )
-            scores = dnr - 2.0 * qd                      # (span_cap,)
-            pos = start_c + lane
-            ok = (pos >= start) & (pos < end) & (oidr < sn)
-            ok &= jnp.logical_or(~ac_i, Cr == v_i)
-            ok &= jnp.logical_or(~at_i, (Tr >= l_i) & (Tr <= r_i))
+            ok &= jnp.logical_or(~ac[:, None], Cr[None, :] == vq[:, None])
+            ok &= jnp.logical_or(
+                ~at[:, None],
+                (Tr[None, :] >= lq[:, None]) & (Tr[None, :] <= rq[:, None]),
+            )
             scores = jnp.where(ok, scores, jnp.inf)
-            top_neg, idx = jax.lax.top_k(-scores, kp)
-            return None, (-top_neg, (pos[idx]).astype(jnp.int32))
+            top_neg, idx = jax.lax.top_k(-scores, kp)    # (G, kp)
+            return None, (-top_neg, pos[idx].astype(jnp.int32))
 
         _, (scores, pos) = jax.lax.scan(
             step,
             None,
-            (starts, ends, qV, active_c, vv, active_t, ll, rr),
+            (
+                g_start,
+                starts, ends,
+                qV.reshape(NG, G, d),
+                active_c.reshape(NG, G), vv.reshape(NG, G),
+                active_t.reshape(NG, G),
+                ll.reshape(NG, G), rr.reshape(NG, G),
+            ),
         )
         return common.finalize_view(
-            scores, pos, Vp_view, oid_view, tail_V, qb, n, k
+            scores.reshape(NG * G, kp), pos.reshape(NG * G, kp),
+            Vp_view, oid_view, tail_V, qb, n, k
         )
 
     def _search_full(
@@ -363,29 +427,42 @@ class PartitionedEngine:
             np.empty((qs.m, k), dtype=np.float32) if return_dists else None
         )
 
-        # Per-query bucket: smallest cap covering the span; -1 = full scan.
-        # Full-range queries (type 0 and degenerate single-partition cases)
-        # always take the batched dense path.
-        bucket_of = np.full(qs.m, -1, np.int64)
-        for bi in range(len(self.route_buckets) - 1, -1, -1):
-            cap = self.route_buckets[bi]
-            bucket_of[(span <= cap) & (span < n)] = bi
+        # Routable = the span fits the widest bucket; full-range queries
+        # (type 0 and degenerate single-partition cases) always take the
+        # batched dense path. Cap assignment happens per GROUP at pack time.
+        routable = np.zeros(qs.m, bool)
+        if self.route_buckets:
+            routable = (span <= self.route_buckets[-1]) & (span < n)
+        # Time-view economics: narrow type-2 queries are the ONLY users of
+        # the lazy T-sorted copy. If it isn't materialized yet and this
+        # call doesn't justify it (too few such queries, or the copy blows
+        # the HBM budget), send them down the dense path instead — exact
+        # either way, no 2nd database upload.
+        t2 = (view_id == 1) & routable
+        if self.index._time_view is None and t2.any():
+            view_bytes = self.index.cat_view.n_pad * (_c.PADDED_DIM + 4) * 4
+            if (
+                int(t2.sum()) < self.time_view_min_queries
+                or view_bytes > self.time_view_max_bytes
+            ):
+                view_id = np.where(t2, 0, view_id)
+                routable &= ~t2
         if self.bin_top is None:
             # no sound bin depth for the deferred full scan on tiny DBs:
             # route everything through the cat view's full-coverage bucket
             # with a full range — the routed kernel's predicate mask does
             # the filtering (ranges are view-specific, so rerouting a
             # type-2 query off the time view must widen its range).
-            forced = bucket_of < 0
+            forced = ~routable
             if forced.any():
                 view_id = np.where(forced, 0, view_id)
                 start = np.where(forced, 0, start)
                 end = np.where(forced, n, end)
-                bucket_of[forced] = len(self.route_buckets) - 1
+                routable[:] = True
         # Full scans mask predicates anyway — the view only matters for
         # pruning. Funnel ALL wide queries through cat_view so they share
         # one grouped dispatch stream instead of splitting per view.
-        view_id = np.where(bucket_of < 0, 0, view_id)
+        view_id = np.where(~routable, 0, view_id)
 
         # Enqueue every dispatch, fetch at the end (overlaps uploads with
         # device compute; see BatchedEngine.search). Full-scan batches are
@@ -404,7 +481,7 @@ class PartitionedEngine:
                 varg = (view.Vp, view.C, view.T, view.d_norms, view.oid,
                         self.tail_V)
                 # FULL route: batched dense packed scan, grouped dispatches
-                q_idx = np.nonzero((view_id == vid) & (bucket_of < 0))[0]
+                q_idx = np.nonzero((view_id == vid) & ~routable)[0]
                 if q_idx.size:
                     B = self.query_batch
                     nb = -(-q_idx.size // B)
@@ -433,37 +510,40 @@ class PartitionedEngine:
                             )
                             pending.append((batch_list[0], out, None, True))
                         s += G
-                # ROUTED buckets: per-query contiguous slices, wide batches
-                for bi, cap in enumerate(self.route_buckets):
-                    q_idx = np.nonzero((view_id == vid) & (bucket_of == bi))[0]
-                    for s in range(0, q_idx.size, self.routed_batch):
-                        batch_idx = q_idx[s : s + self.routed_batch]
-                        a = self._query_args(batch_idx, qs, self.routed_batch)
-                        Bq = self.routed_batch
-                        starts = np.zeros(Bq, np.int32)
-                        ends = np.zeros(Bq, np.int32)     # pad slots: empty span
-                        starts[: batch_idx.size] = start[batch_idx]
-                        ends[: batch_idx.size] = end[batch_idx]
-                        out = self._jit_routed(
-                            *varg,
-                            jnp.asarray(starts), jnp.asarray(ends),
-                            *map(jnp.asarray, a), *scalars,
-                            k=k, span_cap=cap,
-                        )
-                        pending.append((batch_idx, out, None, False))
+                # ROUTED: pack sorted-by-start queries into shared windows,
+                # dispatch routed_groups windows at a time per cap bucket
+                q_idx = np.nonzero((view_id == vid) & routable)[0]
+                if q_idx.size:
+                    by_cap = self._pack_groups(start, end, q_idx)
+                    for cap in sorted(by_cap):
+                        glist = by_cap[cap]
+                        for s in range(0, len(glist), self.routed_groups):
+                            chunk = glist[s : s + self.routed_groups]
+                            out, slots = self._routed_dispatch(
+                                chunk, cap, qs, start, end,
+                                varg, scalars, k,
+                            )
+                            pending.append((slots, out, None, False))
         suspect_q = []
         with maybe_phase(phases, "search/fetch"):
             for batch_idx, (ids_b, d_b), B_g, is_full in pending:
-                # full-path tensors carry the certificate bit (last column)
-                w = k + 1 if is_full else k
-                ids_np = np.asarray(ids_b).reshape(-1, w)[: batch_idx.size]
                 if is_full:
+                    # full-path tensors carry the certificate bit (last col);
+                    # batch padding is contiguous at the END
+                    ids_np = np.asarray(ids_b).reshape(-1, k + 1)
+                    ids_np = ids_np[: batch_idx.size]
                     suspect_q.append(batch_idx[ids_np[:, -1].astype(bool)])
-                    ids_np = ids_np[:, :-1]
-                ids_out[batch_idx] = ids_np
-                if return_dists:
-                    d_np = np.asarray(d_b).reshape(-1, k)
-                    dists_out[batch_idx] = d_np[: batch_idx.size]
+                    ids_out[batch_idx] = ids_np[:, :-1]
+                    if return_dists:
+                        d_np = np.asarray(d_b).reshape(-1, k)
+                        dists_out[batch_idx] = d_np[: batch_idx.size]
+                else:
+                    # routed slots: pad entries (-1) interleave per group
+                    valid = batch_idx >= 0
+                    tgt = batch_idx[valid]
+                    ids_out[tgt] = np.asarray(ids_b).reshape(-1, k)[valid]
+                    if return_dists:
+                        dists_out[tgt] = np.asarray(d_b).reshape(-1, k)[valid]
         if suspect_q:
             sus = np.concatenate(suspect_q)
             if sus.size:
@@ -514,6 +594,119 @@ class PartitionedEngine:
                     dists_out[sel[still]] = np.asarray(d_b)[: sel.size][
                         still
                     ]
+
+    def _pack_groups(self, start, end, q_idx):
+        """Greedy shared-window packer over start-sorted routable queries.
+
+        Walks queries in range-start order, extending the current group's
+        window while it stays within the group's target cap and the group
+        has fewer than route_group members; escalates to the next bucket
+        only while the group is under half full (snug caps matter: the
+        routed top-k and HBM read both scale with cap). Window starts are
+        aligned DOWN to the 128-lane multiple when that keeps the width
+        within the widest bucket. Returns {cap: [(g_start, member_ids)]}.
+        """
+        caps = self.route_buckets
+        G = self.route_group
+        order = q_idx[np.argsort(start[q_idx], kind="stable")]
+        by_cap: dict[int, list] = {}
+
+        def cover(width):
+            for i, c in enumerate(caps):
+                if c >= width:
+                    return i
+            return len(caps) - 1
+
+        def close(members, g_start, width):
+            cap = caps[cover(width)]
+            by_cap.setdefault(cap, []).append((g_start, members))
+
+        cur: list[int] = []
+        g_start = g_end = 0
+        ti = 0
+        for q in order:
+            s, e = int(start[q]), int(end[q])
+            if not cur:
+                cur = [q]
+                g_start = s - (s % 128)
+                if e - g_start > caps[-1]:
+                    g_start = s          # alignment is best-effort
+                g_end = max(e, g_start)
+                ti = cover(g_end - g_start)
+                continue
+            new_end = max(g_end, e)
+            width = new_end - g_start
+            if len(cur) < G and width <= caps[ti]:
+                cur.append(q)
+                g_end = new_end
+            elif (
+                len(cur) < G // 2
+                and ti + 1 < len(caps)
+                and width <= caps[ti + 1]
+            ):
+                ti += 1
+                cur.append(q)
+                g_end = new_end
+            else:
+                close(cur, g_start, g_end - g_start)
+                cur = [q]
+                g_start = s - (s % 128)
+                if e - g_start > caps[-1]:
+                    g_start = s
+                g_end = max(e, g_start)
+                ti = cover(g_end - g_start)
+        if cur:
+            close(cur, g_start, g_end - g_start)
+        return by_cap
+
+    def _routed_dispatch(self, chunk, cap, qs, start, end, varg, scalars, k):
+        """One grouped-window dispatch: ≤ routed_groups windows, each with
+        ≤ route_group queries. The group count is padded to a power of two
+        (bounded jit specializations per cap); pad groups/slots carry empty
+        spans. Returns (device out, slot ids aligned to the NG·G layout,
+        -1 = pad)."""
+        G = self.route_group
+        NG = 1 << max(0, len(chunk) - 1).bit_length()
+        NG = min(max(NG, 1), self.routed_groups)
+        g_start = np.zeros(NG, np.int32)
+        st = np.zeros((NG, G), np.int32)
+        en = np.zeros((NG, G), np.int32)
+        slots = np.full(NG * G, -1, np.int64)
+        for gi, (gs, members) in enumerate(chunk):
+            g_start[gi] = gs
+            for qi, q in enumerate(members):
+                st[gi, qi] = start[q]
+                en[gi, qi] = end[q]
+                slots[gi * G + qi] = q
+        a = self._slot_query_args(slots, qs)
+        out = self._jit_routed(
+            *varg,
+            jnp.asarray(g_start), jnp.asarray(st), jnp.asarray(en),
+            *map(jnp.asarray, a), *scalars,
+            k=k, span_cap=cap,
+        )
+        return out, slots
+
+    def _slot_query_args(self, slots, qs):
+        """Query args for a grouped layout with interleaved -1 pad slots."""
+        B = slots.size
+        valid = slots >= 0
+        sel = slots[valid]
+        qV = np.zeros((B, _c.PADDED_DIM), np.float32)
+        qV[valid] = pad_vectors_np(qs.V[sel].astype(np.float32))
+
+        def pad(a, fill):
+            out = np.full(B, fill, dtype=a.dtype)
+            out[valid] = a[sel]
+            return out
+
+        return (
+            qV,
+            pad(qs.qtype, 0),
+            pad(qs.v, -1.0),
+            pad(qs.l, -1.0),
+            pad(qs.r, -1.0),
+        )
 
     def _query_args(self, batch_idx, qs, B: int | None = None):
         """Padded (B, ...) host query arrays for one batch."""

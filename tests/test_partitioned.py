@@ -133,11 +133,38 @@ def test_routed_narrow_type2_time_view():
         V=rng.uniform(-6, 6, (16, 100)).astype(np.float32),
     )
     eng = PartitionedEngine(ds, db_tile=1024, query_batch=16,
-                            route_buckets=(2048,), routed_batch=16)
+                            route_buckets=(2048,), routed_batch=16,
+                            time_view_min_queries=1)
     view_id, start, end = eng.index.query_ranges(qs.qtype, qs.v, qs.l, qs.r)
     assert (view_id == 1).all() and ((end - start) <= 2048).all()
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
+    assert eng.index._time_view is not None      # the T-sorted copy was used
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_time_view_economics_gate():
+    """A handful of narrow type-2 queries must NOT materialize the second
+    full database copy — they reroute to the dense path, results identical
+    (the 10⁷ set pays 5.1 GB HBM + a ~130 s upload for the copy)."""
+    from hvq_tpu.utils.formats import QuerySet
+
+    ds = generate_dataset(30000, seed=72, categories=8)
+    rng = np.random.default_rng(74)
+    ls = rng.uniform(-2, 2, 8).astype(np.float32)
+    qs = QuerySet(
+        qtype=np.full(8, 2, np.int32),
+        v=np.full(8, -1.0, np.float32),
+        l=ls,
+        r=(ls + 0.01).astype(np.float32),
+        V=rng.uniform(-6, 6, (8, 100)).astype(np.float32),
+    )
+    eng = PartitionedEngine(ds, db_tile=1024, query_batch=16,
+                            route_buckets=(2048,), routed_batch=16)
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert eng.index._time_view is None          # gate held: no 2nd copy
     assert_results_match(ds, qs, ids, dists, oids, odists)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
 
@@ -146,7 +173,8 @@ def test_time_view_is_lazy():
     """No narrow type-2 queries → the T-sorted device copy never builds."""
     ds = generate_dataset(5000, seed=80, categories=10)
     eng = PartitionedEngine(ds, db_tile=512, query_batch=32,
-                            route_buckets=(256,), routed_batch=32)
+                            route_buckets=(256,), routed_batch=32,
+                            time_view_min_queries=1)
     assert eng.index._time_view is None
     qs = generate_queries(16, seed=81, categories=10, types=(0, 1, 3))
     eng.search(qs)                       # cat-view routes only
@@ -178,3 +206,28 @@ def test_time_view_is_lazy():
     assert eng.index._time_view is not None
     oids, odists = search_oracle(ds, qs3)
     assert_results_match(ds, qs3, ids, dists, oids, odists)
+
+
+def test_pack_groups_invariants():
+    """Grouped-window packer: every group respects size ≤ route_group,
+    window width ≤ its cap, and every member's [start, end) lies inside
+    [g_start, g_start + cap)."""
+    ds = generate_dataset(20000, seed=9, categories=50)
+    eng = PartitionedEngine(ds, db_tile=1024, query_batch=32,
+                            route_buckets=(512, 2048), route_group=4)
+    qs = generate_queries(300, seed=10, categories=50, types=(1, 2, 3))
+    view_id, start, end = eng.index.query_ranges(qs.qtype, qs.v, qs.l, qs.r)
+    span = end - start
+    routable = (span <= eng.route_buckets[-1]) & (span < ds.n)
+    q_idx = np.nonzero(routable & (view_id == 0))[0]
+    assert q_idx.size > 50
+    by_cap = eng._pack_groups(start, end, q_idx)
+    seen = []
+    for cap, groups in by_cap.items():
+        assert cap in eng.route_buckets
+        for g_start, members in groups:
+            assert 1 <= len(members) <= eng.route_group
+            for q in members:
+                assert g_start <= start[q] and end[q] <= g_start + cap
+            seen.extend(members)
+    assert sorted(seen) == sorted(q_idx.tolist())

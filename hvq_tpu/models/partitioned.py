@@ -21,6 +21,12 @@ by host-side binary search (index.partition) and routes by range width:
                   per-partition groups.
   wide range    → batched deferred full scan (the dense-MXU path); pruning
                   cannot beat a batched dense scan once most rows qualify.
+                  WIDE TYPE-2 ranges get a middle path: on the T-sorted
+                  view a start-sorted batch's candidates all live in the
+                  tile window [min start, max end), so the same certified
+                  packed scan runs over a dynamic window of the view
+                  (power-of-two tile-count buckets ≤ nt/2) — typically
+                  30–50 % less scan work than the full database.
 
 A per-BATCH tile union (the earlier design) is wrong for batched workloads:
 256 random categories union to more tiles than the database has — measured
@@ -47,6 +53,7 @@ import numpy as np
 
 from hvq_tpu import constants as _c
 from hvq_tpu.models import common
+from hvq_tpu.models.batched import bundle_ids, id_pack_mode, unbundle_ids
 from hvq_tpu.index.partition import PartitionedIndex
 from hvq_tpu.ops import masks as mask_ops
 from hvq_tpu.ops.distance import pad_vectors_np, resolve_precision
@@ -164,6 +171,10 @@ class PartitionedEngine:
         self.dispatch_group = dispatch_group
         self.time_view_min_queries = time_view_min_queries
         self.time_view_max_bytes = time_view_max_bytes
+        # 16/24-bit id packing for every result fetch (relay bandwidth is
+        # ~40 MB/s; see batched.bundle_ids). Gated on n_pad: every id that
+        # can reach a bundle is an original id < n or a tail pad < n.
+        self._id_mode = id_pack_mode(n_pad, _c.K_DEFAULT)
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top", "level2")
         )
@@ -176,6 +187,12 @@ class PartitionedEngine:
         )
         self._jit_stream = jax.jit(
             self._search_stream, static_argnames=("k",)
+        )
+        self._jit_window = jax.jit(
+            self._search_full_window, static_argnames=("k", "ntw")
+        )
+        self._jit_window_group = jax.jit(
+            self._search_full_window_group, static_argnames=("k", "ntw")
         )
 
     # --- jitted cores ------------------------------------------------------
@@ -254,9 +271,19 @@ class PartitionedEngine:
                 ll.reshape(NG, G), rr.reshape(NG, G),
             ),
         )
-        return common.finalize_view(
+        ids_v, d_v = common.finalize_view(
             scores.reshape(NG * G, kp), pos.reshape(NG * G, kp),
             Vp_view, oid_view, tail_V, qb, n, k
+        )
+        # routed results are exact by construction (no certificate bit to
+        # carry) but share the packed-id fetch format with the full path
+        return (
+            bundle_ids(
+                ids_v.astype(jnp.int32),
+                jnp.zeros((NG * G,), bool),
+                self._id_mode,
+            ),
+            d_v,
         )
 
     def _search_full(
@@ -268,6 +295,8 @@ class PartitionedEngine:
         k: int,
         bin_top: int | None = None,
         level2: bool = True,
+        row0=None,
+        ntw: int | None = None,
     ):
         from hvq_tpu.models.batched import (
             _CERT_ABS,
@@ -295,10 +324,14 @@ class PartitionedEngine:
             db_tile=db_tile, bin_top=bin_top,
             precision=self.precision,
             layout=self.scan_layout,
+            row0=row0, ntw=ntw,
         )
         W = out_s.shape[1]
         kp = min(self.kprime, W)
-        nt_v = Vp_view.shape[0] // db_tile
+        nt_v = (
+            ntw if row0 is not None and ntw is not None
+            else Vp_view.shape[0] // db_tile
+        )
         worst2 = None
         # level-2 gates: see BatchedEngine (axis1 needs bins2 >= 128,
         # lane needs nt >= 128)
@@ -340,13 +373,10 @@ class PartitionedEngine:
             suspect = cert_min < t + slack
         else:
             suspect = jnp.zeros((qV.shape[0],), bool)
-        # [ids | certificate bit] as ONE fetched int32 tensor — a separate
-        # suspect fetch would cost ~27 ms of relay latency per dispatch
-        bundle = jnp.concatenate(
-            [f_ids.astype(jnp.int32), suspect.astype(jnp.int32)[:, None]],
-            axis=1,
-        )
-        return bundle, f_d
+        # [packed ids | certificate bit] as ONE fetched int32 tensor — a
+        # separate suspect fetch would cost ~27 ms of relay latency per
+        # dispatch, and unpacked ids 1.33–2× the fetch bytes
+        return bundle_ids(f_ids.astype(jnp.int32), suspect, self._id_mode), f_d
 
     def _search_stream(
         self,
@@ -380,6 +410,50 @@ class PartitionedEngine:
         return common.finalize_view(
             scores, pos, Vp_view, oid_view, tail_V, qb, n, k
         )
+
+    def _search_full_window(
+        self,
+        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        row0,                     # () int32 window start row (tile-aligned)
+        qV, qtype, v, l, r,
+        sn, n,
+        k: int,
+        ntw: int,                 # static window tile count
+    ):
+        """The certified deferred full scan over a dynamic tile WINDOW of a
+        sorted view. On the T-sorted view every candidate row of a wide
+        type-2 batch lies in [min start, max end) — tiles outside provably
+        fail every query's T predicate, so scanning only the window keeps
+        the result exact and the certificate's coverage argument intact
+        (selection error among scanned rows is what it bounds; unscanned
+        rows are predicate-failures). The scan dynamic-slices one TILE per
+        step from the resident view (no window copy: the 10⁷ set already
+        holds two 5.3 GB views in HBM) and returns global positions."""
+        return self._search_full(
+            Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+            qV, qtype, v, l, r, sn, n, k, row0=row0, ntw=ntw,
+        )
+
+    def _search_full_window_group(
+        self,
+        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        row0g,                            # (G,) int32 window starts
+        qVg, qtypeg, vg, lg, rg,          # (G, B, ...) stacked batches
+        sn, n,
+        k: int,
+        ntw: int,
+    ):
+        """G windowed batches in ONE dispatch (fixed-cost amortization)."""
+
+        def step(_, xs):
+            row0, qV, qtype, v, l, r = xs
+            return None, self._search_full_window(
+                Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+                row0, qV, qtype, v, l, r, sn, n, k, ntw,
+            )
+
+        _, out = jax.lax.scan(step, None, (row0g, qVg, qtypeg, vg, lg, rg))
+        return out
 
     def _search_full_group(
         self,
@@ -464,6 +538,41 @@ class PartitionedEngine:
         # one grouped dispatch stream instead of splitting per view.
         view_id = np.where(~routable, 0, view_id)
 
+        # WIDE TYPE-2 middle path: on the T-sorted view a start-sorted
+        # batch's candidates all live in tiles [min start, max end) — run
+        # the same certified scan over just that window when it is ≤ nt/2
+        # tiles (power-of-two-ish buckets bound jit specializations).
+        # Partial batches and window-doesn't-help batches stay dense.
+        windowed = np.zeros(qs.m, bool)
+        win_batches: list[tuple[int, int, np.ndarray]] = []
+        wide_t2 = (qs.qtype == 2) & ~routable
+        if self.bin_top is not None and wide_t2.any():
+            cv = idx.cat_view
+            nt = cv.num_tiles
+            Dt = cv.db_tile
+            wcount = int(wide_t2.sum())
+            view_bytes = cv.n_pad * (_c.PADDED_DIM + 4) * 4
+            tv_ok = view_bytes <= self.time_view_max_bytes and (
+                idx._time_view is not None
+                or wcount >= self.time_view_min_queries
+            )
+            if tv_ok and nt >= 8 and wcount >= self.query_batch:
+                buckets_w = sorted({nt // 8, nt // 4, nt // 2})
+                w_idx = np.nonzero(wide_t2)[0]
+                order = w_idx[np.argsort(start[w_idx], kind="stable")]
+                B = self.query_batch
+                for s in range(0, order.size - B + 1, B):
+                    chunk = order[s : s + B]
+                    t0 = int(start[chunk[0]]) // Dt
+                    t1 = -(-int(end[chunk].max()) // Dt)
+                    need = max(1, t1 - t0)
+                    ntw = next((b for b in buckets_w if b >= need), None)
+                    if ntw is None:
+                        continue                      # barely prunes: dense
+                    row0 = min(t0 * Dt, cv.n_pad - ntw * Dt)
+                    win_batches.append((row0, ntw, chunk))
+                    windowed[chunk] = True
+
         # Enqueue every dispatch, fetch at the end (overlaps uploads with
         # device compute; see BatchedEngine.search). Full-scan batches are
         # additionally grouped into power-of-two multi-batch dispatches.
@@ -481,7 +590,9 @@ class PartitionedEngine:
                 varg = (view.Vp, view.C, view.T, view.d_norms, view.oid,
                         self.tail_V)
                 # FULL route: batched dense packed scan, grouped dispatches
-                q_idx = np.nonzero((view_id == vid) & ~routable)[0]
+                q_idx = np.nonzero(
+                    (view_id == vid) & ~routable & ~windowed
+                )[0]
                 if q_idx.size:
                     B = self.query_batch
                     nb = -(-q_idx.size // B)
@@ -524,24 +635,68 @@ class PartitionedEngine:
                                 varg, scalars, k,
                             )
                             pending.append((slots, out, None, False))
+            # WINDOWED wide type-2 batches on the T-sorted view, grouped
+            # per tile-count bucket (first touch materializes the view —
+            # the bench warmup pass pays that, not the timed region)
+            if win_batches:
+                tv = idx.time_view
+                varg_t = (tv.Vp, tv.C, tv.T, tv.d_norms, tv.oid, self.tail_V)
+                by_ntw: dict[int, list] = {}
+                for row0, ntw, chunk in win_batches:
+                    by_ntw.setdefault(ntw, []).append((row0, chunk))
+                for ntw in sorted(by_ntw):
+                    blist = by_ntw[ntw]
+                    s = 0
+                    for G in dispatch_plan(len(blist), self.dispatch_group):
+                        sub = blist[s : s + G]
+                        if G > 1:
+                            stk = [self._query_args(qi, qs) for _, qi in sub]
+                            args = tuple(
+                                jnp.asarray(np.stack([a[i] for a in stk]))
+                                for i in range(5)
+                            )
+                            row0s = jnp.asarray(
+                                np.array([r0 for r0, _ in sub], np.int32)
+                            )
+                            out = self._jit_window_group(
+                                *varg_t, row0s, *args, *scalars, k=k, ntw=ntw
+                            )
+                            pending.append((
+                                np.concatenate([qi for _, qi in sub]),
+                                out, self.query_batch, True,
+                            ))
+                        else:
+                            r0, qi = sub[0]
+                            a = self._query_args(qi, qs)
+                            out = self._jit_window(
+                                *varg_t, jnp.int32(r0),
+                                *map(jnp.asarray, a), *scalars,
+                                k=k, ntw=ntw,
+                            )
+                            pending.append((qi, out, None, True))
+                        s += G
         suspect_q = []
         with maybe_phase(phases, "search/fetch"):
             for batch_idx, (ids_b, d_b), B_g, is_full in pending:
+                arr = np.asarray(ids_b)
+                arr = arr.reshape(-1, arr.shape[-1])
                 if is_full:
-                    # full-path tensors carry the certificate bit (last col);
-                    # batch padding is contiguous at the END
-                    ids_np = np.asarray(ids_b).reshape(-1, k + 1)
-                    ids_np = ids_np[: batch_idx.size]
-                    suspect_q.append(batch_idx[ids_np[:, -1].astype(bool)])
-                    ids_out[batch_idx] = ids_np[:, :-1]
+                    # full-path bundles carry the certificate bit; batch
+                    # padding is contiguous at the END
+                    ids_np, sus_b = unbundle_ids(
+                        arr[: batch_idx.size], k, self._id_mode
+                    )
+                    suspect_q.append(batch_idx[sus_b])
+                    ids_out[batch_idx] = ids_np
                     if return_dists:
                         d_np = np.asarray(d_b).reshape(-1, k)
                         dists_out[batch_idx] = d_np[: batch_idx.size]
                 else:
                     # routed slots: pad entries (-1) interleave per group
+                    ids_np, _ = unbundle_ids(arr, k, self._id_mode)
                     valid = batch_idx >= 0
                     tgt = batch_idx[valid]
-                    ids_out[tgt] = np.asarray(ids_b).reshape(-1, k)[valid]
+                    ids_out[tgt] = ids_np[valid]
                     if return_dists:
                         dists_out[tgt] = np.asarray(d_b).reshape(-1, k)[valid]
         if suspect_q:
@@ -578,8 +733,9 @@ class PartitionedEngine:
                     k=k, bin_top=deeper, level2=False,
                 )
                 b_np = np.asarray(b_b)[: sel.size]
-                fixed = b_np[:, -1] == 0
-                ids_out[sel[fixed]] = b_np[fixed][:, :-1]
+                ids_np, sus_b = unbundle_ids(b_np, k, self._id_mode)
+                fixed = ~sus_b
+                ids_out[sel[fixed]] = ids_np[fixed]
                 if dists_out is not None:
                     dists_out[sel[fixed]] = np.asarray(d_b)[: sel.size][
                         fixed

@@ -357,6 +357,8 @@ def deferred_packed_scan_xla(
     reduce_impl: str = "auto",
     masked: bool = True,
     layout: str = "lane",
+    row0=None,
+    ntw: int | None = None,
 ):
     """Packed-key variant of the deferred bin scan — the fast TPU path.
 
@@ -393,6 +395,14 @@ def deferred_packed_scan_xla(
       without cross-lane shuffles. Bins are arbitrary row groups, so the
       Poisson model and the certificate are layout-independent; only the
       position decode changes (pos = tile·Dt + slice·bins + bin).
+
+    ``row0`` (dynamic, tile-aligned) + ``ntw`` (static): scan only the
+    ``ntw``-tile WINDOW starting at row ``row0`` — each step dynamic-slices
+    one tile from the flat arrays (no stacked/window copy, so HBM peak
+    stays at the resident view). Positions come back GLOBAL. The
+    partitioned engine's wide-type-2 middle path uses this on the T-sorted
+    view where a start-sorted batch's candidates provably live in the
+    window.
     """
     n_pad, d = Vp.shape
     nt = n_pad // db_tile
@@ -413,17 +423,9 @@ def deferred_packed_scan_xla(
         red_axis = 2
     INF_PACK = jnp.int32(0x7F800000)                # +inf, lane 0
 
-    xs = (
-        Vp.reshape(nt, db_tile, d),
-        C.reshape(nt, db_tile),
-        T.reshape(nt, db_tile),
-        dn.reshape(nt, db_tile),
-        oid.reshape(nt, db_tile).astype(jnp.int32),
-    )
-
     tournament = reduce_impl == "tournament" and layout == "lane"
 
-    def step(_, tile):
+    def step_body(tile):
         V_t, C_t, T_t, dn_t, oid_t = tile
         scores = dn_t[None, :] - 2.0 * jax.lax.dot_general(
             qVf, V_t,
@@ -449,7 +451,7 @@ def deferred_packed_scan_xla(
         ) | lane_iota
         if tournament:
             m1, m2 = packed_top2_tournament(packed)
-            return None, jnp.stack([m1, m2], axis=1)  # (B, 2, bins)
+            return jnp.stack([m1, m2], axis=1)        # (B, 2, bins)
         outs = []
         for rnd in range(bin_top):
             m = jnp.min(packed, axis=red_axis)       # (B, bins) packed key
@@ -461,14 +463,44 @@ def deferred_packed_scan_xla(
                     else (m & jnp.int32(0x7F))[:, :, None]
                 )
                 packed = jnp.where(lane_iota == sel, INF_PACK, packed)
-        return None, jnp.stack(outs, axis=1)         # (B, R, bins)
+        return jnp.stack(outs, axis=1)               # (B, R, bins)
 
     # unroll: several tiles per loop iteration amortizes per-step scan
     # overhead (~70 µs/step measured), the dominant cost at 10^7 rows
-    _, packed_out = jax.lax.scan(
-        step, None, xs, unroll=min(unroll, nt)
-    )                                                 # (nt, B, R, bins)
-    W = nt * bin_top * bins
+    if row0 is None:
+        xs = (
+            Vp.reshape(nt, db_tile, d),
+            C.reshape(nt, db_tile),
+            T.reshape(nt, db_tile),
+            dn.reshape(nt, db_tile),
+            oid.reshape(nt, db_tile).astype(jnp.int32),
+        )
+        nt_scan = nt
+        _, packed_out = jax.lax.scan(
+            lambda _, tile: (None, step_body(tile)),
+            None, xs, unroll=min(unroll, nt),
+        )                                             # (nt, B, R, bins)
+    else:
+        nt_scan = ntw if ntw is not None else nt
+
+        def step_idx(_, i):
+            off = row0 + i * db_tile
+            tile = (
+                jax.lax.dynamic_slice(Vp, (off, 0), (db_tile, d)),
+                jax.lax.dynamic_slice(C, (off,), (db_tile,)),
+                jax.lax.dynamic_slice(T, (off,), (db_tile,)),
+                jax.lax.dynamic_slice(dn, (off,), (db_tile,)),
+                jax.lax.dynamic_slice(oid, (off,), (db_tile,)).astype(
+                    jnp.int32
+                ),
+            )
+            return None, step_body(tile)
+
+        _, packed_out = jax.lax.scan(
+            step_idx, None, jnp.arange(nt_scan),
+            unroll=min(unroll, nt_scan),
+        )                                             # (ntw, B, R, bins)
+    W = nt_scan * bin_top * bins
     packed_flat = jnp.moveaxis(packed_out, 0, 1).reshape(B, W)
 
     # unpack: distance = key & ~0x7F; position from the 7 payload bits —
@@ -482,6 +514,8 @@ def deferred_packed_scan_xla(
         pos = tile_idx * db_tile + payload * bins + bin_idx
     else:
         pos = tile_idx * db_tile + bin_idx * BIN + payload
+    if row0 is not None:
+        pos = pos + row0            # window scan: GLOBAL view positions
     dist = jax.lax.bitcast_convert_type(
         packed_flat & jnp.int32(~0x7F), jnp.float32
     )

@@ -176,3 +176,50 @@ def test_packed_tournament_equals_rounds():
         np.testing.assert_array_equal(d_r, d_t)
         finite = np.isfinite(d_r)
         np.testing.assert_array_equal(p_r[finite], p_t[finite])
+
+
+def test_windowed_scan_equals_full_on_window():
+    """row0/ntw window scan must return exactly the full scan's keys for
+    the window's tiles, with GLOBAL positions."""
+    import jax.numpy as jnp
+
+    from hvq_tpu.ops.pallas_scan import deferred_packed_scan_xla
+
+    rng = np.random.default_rng(3)
+    n, B, Dt = 8192, 16, 512
+    Vp = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
+    C = jnp.floor(jnp.asarray(rng.uniform(0, 20, n).astype(np.float32)))
+    T = jnp.asarray(np.sort(rng.uniform(-3, 3, n).astype(np.float32)))
+    dn = jnp.sum(Vp * Vp, axis=1)
+    oid = jnp.asarray(rng.permutation(n).astype(np.int32))
+    qV = jnp.asarray(rng.standard_normal((B, 128)).astype(np.float32))
+    ac = jnp.zeros(B, bool)
+    at = jnp.ones(B, bool)
+    v = jnp.full(B, -1.0, jnp.float32)
+    l = jnp.asarray(rng.uniform(-3, 0, B).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0, 3, B).astype(np.float32))
+    sn = jnp.int32(n)
+
+    for layout in ("lane", "axis1"):
+        for t0, ntw in ((4, 8), (0, 4), (9, 7)):
+            d_f, p_f = deferred_packed_scan_xla(
+                Vp, C, T, dn, oid, qV, ac, v, at, l, r, sn,
+                db_tile=Dt, bin_top=2, layout=layout,
+            )
+            d_w, p_w = deferred_packed_scan_xla(
+                Vp, C, T, dn, oid, qV, ac, v, at, l, r, sn,
+                db_tile=Dt, bin_top=2, layout=layout,
+                row0=jnp.int32(t0 * Dt), ntw=ntw,
+            )
+            # full-scan columns are tile-major: window tiles are a slice
+            bins = Dt // 128
+            wpt = 2 * bins                        # candidates per tile
+            sl = slice(t0 * wpt, (t0 + ntw) * wpt)
+            np.testing.assert_array_equal(
+                np.asarray(d_f)[:, sl], np.asarray(d_w)
+            )
+            d_w_np = np.asarray(d_w)
+            finite = np.isfinite(d_w_np)
+            np.testing.assert_array_equal(
+                np.asarray(p_f)[:, sl][finite], np.asarray(p_w)[finite]
+            )

@@ -231,3 +231,41 @@ def test_pack_groups_invariants():
                 assert g_start <= start[q] and end[q] <= g_start + cap
             seen.extend(members)
     assert sorted(seen) == sorted(q_idx.tolist())
+
+
+def test_windowed_wide_type2():
+    """Wide type-2 batches ride the certified scan over a T-sorted tile
+    window (≤ nt/2) instead of the full database; results stay exact."""
+    from hvq_tpu.utils.formats import QuerySet
+
+    ds = generate_dataset(131072, seed=90, categories=10)
+    rng = np.random.default_rng(91)
+    m = 256
+    ls = rng.uniform(0.5, 2.5, m).astype(np.float32)   # upper-half starts
+    qs = QuerySet(
+        qtype=np.full(m, 2, np.int32),
+        v=np.full(m, -1.0, np.float32),
+        l=ls,
+        r=rng.uniform(ls, 4.0).astype(np.float32),     # wide, reaches T max
+        V=rng.uniform(-6, 6, (m, 100)).astype(np.float32),
+    )
+    eng = PartitionedEngine(ds, db_tile=2048, query_batch=128,
+                            time_view_min_queries=1)
+    assert eng.bin_top is not None
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert eng.index._time_view is not None     # the windowed path engaged
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_windowed_mixed_workload_exact():
+    """All four types through routing + windows + dense in one call."""
+    ds = generate_dataset(131072, seed=92, categories=30)
+    qs = generate_queries(512, seed=93, categories=30)
+    eng = PartitionedEngine(ds, db_tile=2048, query_batch=128,
+                            time_view_min_queries=8)
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0

@@ -90,11 +90,13 @@ class PartitionedEngine:
         scan_layout: str = "axis1",
         # Economics gate for the LAZY time view (a second full database
         # copy in HBM + upload): only materialize once a single search
-        # carries enough narrow type-2 queries to amortize it, and never
-        # beyond the byte budget (the 10⁷ set is 5.1 GB/copy — two copies
-        # crowd a 16 GB chip for ~0.2 % of the mixed workload's queries).
+        # carries enough type-2 queries to amortize it, and never beyond
+        # the byte budget. 4 GB default: at D=10⁷ a second 5.3 GB view
+        # next to the scan workspace RESOURCE_EXHAUSTs the v5e chip
+        # (measured twice, r2) — type-2 queries there ride the dense cat
+        # view instead; at D≤2×10⁶ both views fit with headroom.
         time_view_min_queries: int = 4096,
-        time_view_max_bytes: int = 6_000_000_000,
+        time_view_max_bytes: int = 4_000_000_000,
     ):
         self.index = index or PartitionedIndex.build(
             ds, db_tile=db_tile, dtype=dtype

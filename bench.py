@@ -54,7 +54,10 @@ def main() -> None:
     # BASELINE.json's headline metric is defined on (CPU best: 15 QPS).
     n = int(os.environ.get("HVQ_BENCH_N", 10_000_000))
     q = int(os.environ.get("HVQ_BENCH_Q", 40_000))
-    engine_name = os.environ.get("HVQ_BENCH_ENGINE", "batched")
+    # partitioned: the measured winner on the mixed contest workload
+    # (7364 QPS at D=10⁷ vs the dense engine's 4506, r2) — selective
+    # queries route to shared windows, wide ones share the dense scan
+    engine_name = os.environ.get("HVQ_BENCH_ENGINE", "partitioned")
     cats = int(os.environ.get("HVQ_BENCH_CATS", 1000))
     baseline = float(os.environ.get("HVQ_BENCH_BASELINE", _baseline_qps(n)))
 

@@ -107,6 +107,8 @@ def main() -> None:
         engine_kwargs["scan_layout"] = os.environ["HVQ_BENCH_SCAN_LAYOUT"]
     if os.environ.get("HVQ_BENCH_L2W"):
         engine_kwargs["l2_min_w"] = int(os.environ["HVQ_BENCH_L2W"])
+    if os.environ.get("HVQ_BENCH_KPRIME"):
+        engine_kwargs["kprime"] = int(os.environ["HVQ_BENCH_KPRIME"])
     if os.environ.get("HVQ_BENCH_TV_MAX"):
         # partitioned: time-view byte budget (0 disables the 2nd view)
         engine_kwargs["time_view_max_bytes"] = int(

@@ -188,6 +188,13 @@ def main() -> None:
                 extra["host_counters"][f"{name}_per_query"] = round(
                     rep[name] / max(q, 1), 1
                 )
+    # Certificate forensics (HVQ_CERT_TERMS=1): histogram of per-query term
+    # bitmasks (1 = bin saturation, 2 = level-2, 4 = k'-cut) from the timed
+    # run — which term drives the rerun ladder at this config.
+    _inner = getattr(engine, "engine", engine)
+    _terms = getattr(_inner, "_last_cert_terms", None)
+    if _terms is not None:
+        extra["cert_terms_hist"] = np.bincount(_terms, minlength=8).tolist()
     check_n = int(os.environ.get("HVQ_BENCH_CHECK", 5))
     if check_n:
         from hvq_tpu.models.oracle import search_oracle

@@ -177,6 +177,15 @@ class PartitionedEngine:
         # ~40 MB/s; see batched.bundle_ids). Gated on n_pad: every id that
         # can reach a bundle is an original id < n or a tail pad < n.
         self._id_mode = id_pack_mode(n_pad, _c.K_DEFAULT)
+        # Certificate forensics (HVQ_CERT_TERMS=1 before construction):
+        # the bundled suspect column becomes a term bitmask (1 = bin
+        # saturation, 2 = level-2 saturation, 4 = k'-cut) and search()
+        # records it per query in ``_last_cert_terms`` — nonzero still
+        # means suspect, so the rerun ladder is unaffected.
+        import os as _os
+
+        self._cert_debug = _os.environ.get("HVQ_CERT_TERMS") == "1"
+        self._last_cert_terms: np.ndarray | None = None
         self._jit_full = jax.jit(
             self._search_full, static_argnames=("k", "bin_top", "level2")
         )
@@ -357,22 +366,33 @@ class PartitionedEngine:
             # Same construction as BatchedEngine (models/batched.py
             # docstring): per-bin saturation minima + the k'-cut boundary
             # vs the k-th final distance plus fp slack.
-            cert_min = jnp.min(
-                last_round_dists(out_s, nt_v, bin_top, db_tile // BIN),
-                axis=1,
-            )
-            if worst2 is not None:
-                cert_min = jnp.minimum(cert_min, worst2)
-            if kp < W:
-                cert_min = jnp.minimum(cert_min, scores[:, kp - 1])
             t = f_d[:, k - 1]
             qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
-            slack = (
+            thr = t + (
                 _CERT_REL_MM * (qnorm + self._dn_max)
                 + _CERT_REL_T * t
                 + _CERT_ABS
             )
-            suspect = cert_min < t + slack
+            t_bin = jnp.min(
+                last_round_dists(out_s, nt_v, bin_top, db_tile // BIN),
+                axis=1,
+            ) < thr
+            t_l2 = (worst2 < thr) if worst2 is not None else None
+            t_kcut = (scores[:, kp - 1] < thr) if kp < W else None
+            if self._cert_debug:
+                # forensics: suspect column = term bitmask (nonzero ⇒
+                # suspect, so unbundle semantics are unchanged)
+                suspect = t_bin.astype(jnp.int32)
+                if t_l2 is not None:
+                    suspect += 2 * t_l2.astype(jnp.int32)
+                if t_kcut is not None:
+                    suspect += 4 * t_kcut.astype(jnp.int32)
+            else:
+                suspect = t_bin
+                if t_l2 is not None:
+                    suspect |= t_l2
+                if t_kcut is not None:
+                    suspect |= t_kcut
         else:
             suspect = jnp.zeros((qV.shape[0],), bool)
         # [packed ids | certificate bit] as ONE fetched int32 tensor — a
@@ -678,6 +698,8 @@ class PartitionedEngine:
                             pending.append((qi, out, None, True))
                         s += G
         suspect_q = []
+        if self._cert_debug:
+            self._last_cert_terms = np.zeros(qs.m, np.int32)
         with maybe_phase(phases, "search/fetch"):
             for batch_idx, (ids_b, d_b), B_g, is_full in pending:
                 arr = np.asarray(ids_b)
@@ -688,6 +710,10 @@ class PartitionedEngine:
                     ids_np, sus_b = unbundle_ids(
                         arr[: batch_idx.size], k, self._id_mode
                     )
+                    if self._cert_debug:
+                        self._last_cert_terms[batch_idx] = arr[
+                            : batch_idx.size, -1
+                        ]
                     suspect_q.append(batch_idx[sus_b])
                     ids_out[batch_idx] = ids_np
                     if return_dists:

@@ -109,6 +109,9 @@ def main() -> None:
         engine_kwargs["l2_min_w"] = int(os.environ["HVQ_BENCH_L2W"])
     if os.environ.get("HVQ_BENCH_KPRIME"):
         engine_kwargs["kprime"] = int(os.environ["HVQ_BENCH_KPRIME"])
+    if os.environ.get("HVQ_BENCH_REPAIR"):
+        # partitioned: in-program bin-repair width (0 disables)
+        engine_kwargs["repair_bins"] = int(os.environ["HVQ_BENCH_REPAIR"])
     if os.environ.get("HVQ_BENCH_TV_MAX"):
         # partitioned: time-view byte budget (0 disables the 2nd view)
         engine_kwargs["time_view_max_bytes"] = int(

@@ -24,11 +24,18 @@ certificate: with t = the k-th refined distance, a bin can conceal a
 better-than-t row only if its R-th (worst) kept quantized distance is
 below t plus a rigorous fp-slack (matmul-accumulation + key-quantization
 error bounds, see ``_CERT_*`` below); the k'-cut is checked the same way.
-Suspect flags ride back to the host with the ids (1 byte/query), and
-suspect batches — expected only on adversarial bin-concentrated layouts —
-are re-run through the certified-exact ``lax.top_k`` streaming path (one
-lazily-compiled program). This makes the fast packed path EXACT at every
-database size, replacing the old small-DB fallback to the slow path.
+BENIGN saturation (two of the top-k' sharing a bin by Poisson chance —
+~6% of queries at D=10⁷/R=2) is repaired IN-PROGRAM: the ``repair_bins``
+most-saturated bins' 128 rows are appended to the exact-refine candidate
+set (common.bin_repair_candidates), so the bin term of the certificate
+becomes "the (rb+1)-th most-saturated bin is still under threshold" and
+the flag rate drops to adversarial cases only. Suspect flags ride back to
+the host with the ids (1 byte/query), and suspect batches — expected only
+on bin-concentrated layouts wider than ``repair_bins`` — are re-run
+through the certified-exact ``lax.top_k`` streaming path (one
+lazily-compiled program, pow-2-compacted batch shapes). This makes the
+fast packed path EXACT at every database size, replacing the old small-DB
+fallback to the slow path.
 
 Scan implementations (``scan_impl``; measured ladder in CHANGELOG.md):
 
@@ -214,6 +221,20 @@ def packed_id_width(k: int, pack_mode: str) -> int:
     return k
 
 
+def _pow2_batch(m: int, cap: int) -> int:
+    """Smallest pow-2 rerun program shape >= m (min 64, capped at ``cap``).
+
+    Rerun rungs scan the full view regardless of batch width, but the
+    matmul/epilogue cost scales with B — a handful of suspects should not
+    pay a query_batch-shaped program. Pow-2 snapping bounds the number of
+    compiled shapes to {64,128,...,cap}.
+    """
+    B = 64
+    while B < m and B < cap:
+        B *= 2
+    return min(B, cap)
+
+
 def rerun_suspect_ladder(
     suspects, ids_raw, dists_out, B, kw, k, deeper, run
 ):
@@ -227,25 +248,38 @@ def rerun_suspect_ladder(
     results scatter back into ``ids_raw``/``dists_out`` by index.
     """
     idx = np.nonzero(suspects)[0]
-    pad = (-len(idx)) % B
-    idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
-    for s in range(0, len(idxp), B):
-        sel = idxp[s : s + B]
-        still = np.ones(len(sel), bool)
-        if deeper is not None:
+
+    def batches(indices):
+        # pow-2-compacted program shapes: a handful of suspects runs a
+        # B=64 program, not a query_batch-shaped one (the scan still
+        # covers the full view, but matmul/epilogue cost scales with B)
+        for s in range(0, indices.size, B):
+            sel0 = indices[s : s + B]
+            Br = _pow2_batch(sel0.size, B)
+            pad = Br - sel0.size
+            yield sel0, np.concatenate([sel0, np.repeat(sel0[:1], pad)]), Br
+
+    still_q = []
+    if deeper is not None:
+        for sel0, sel, Br in batches(idx):
             b_b, d_b = run(sel, "xla_packed", deeper)
-            b_np = np.asarray(b_b).reshape(B, kw)
+            b_np = np.asarray(b_b).reshape(Br, kw)[: sel0.size]
             fixed = b_np[:, -1] == 0
-            ids_raw[sel[fixed]] = b_np[fixed][:, :-1]
+            ids_raw[sel0[fixed]] = b_np[fixed][:, :-1]
             if dists_out is not None:
-                dists_out[sel[fixed]] = np.asarray(d_b).reshape(B, k)[fixed]
-            still = ~fixed
-        if still.any():
-            b_b, d_b = run(sel, "xla", None)
-            b_np = np.asarray(b_b).reshape(B, kw)
-            ids_raw[sel[still]] = b_np[still][:, :-1]
-            if dists_out is not None:
-                dists_out[sel[still]] = np.asarray(d_b).reshape(B, k)[still]
+                dists_out[sel0[fixed]] = np.asarray(d_b).reshape(Br, k)[
+                    : sel0.size
+                ][fixed]
+            still_q.append(sel0[~fixed])
+    else:
+        still_q.append(idx)
+    idx2 = np.concatenate(still_q) if still_q else idx[:0]
+    for sel0, sel, Br in batches(idx2):
+        b_b, d_b = run(sel, "xla", None)
+        b_np = np.asarray(b_b).reshape(Br, kw)[: sel0.size]
+        ids_raw[sel0] = b_np[:, :-1]
+        if dists_out is not None:
+            dists_out[sel0] = np.asarray(d_b).reshape(Br, k)[: sel0.size]
 
 
 def _default_scan_impl() -> str:
@@ -279,6 +313,7 @@ class BatchedEngine:
         bin_top: int | None = None,
         l2_min_w: int = 16384,
         scan_layout: str = "axis1",
+        repair_bins: int = 4,
     ):
         self.scan_impl = (
             _default_scan_impl() if scan_impl == "auto" else scan_impl
@@ -288,6 +323,9 @@ class BatchedEngine:
         # each) or "lane" (contiguous groups, lane reduce). Constructor-
         # only; see ops.pallas_scan.deferred_packed_scan_xla.
         self.scan_layout = scan_layout
+        # In-program bin-repair width (constructor-only, baked into the
+        # traced program; 0 disables — see common.bin_repair_candidates)
+        self.repair_bins = int(repair_bins)
         if db_tile is None:
             # 8192 rows/tile: XLA paths amortize per-step scan overhead; the
             # fused kernel gets out_w = 2·64 = 128 (Mosaic block constraint)
@@ -481,6 +519,18 @@ class BatchedEngine:
                 top_neg, idx = jax.lax.top_k(-out_s, kp)
                 scores = -top_neg                   # ascending quantized
                 ids = jnp.take_along_axis(out_i, idx, axis=1)
+            # k'-cut boundary estimate BEFORE repair widens the candidates
+            kcut_score = scores[:, kp - 1] if kp < W else None
+            remaining_min = None
+            if self.certified and self.repair_bins and impl == "xla_packed":
+                # in-program bin repair (common.bin_repair_candidates):
+                # rows are original-order here, so positions double as ids
+                # and self._pos is the sample-mask array the scan used
+                scores, ids, remaining_min = common.bin_repair_candidates(
+                    out_s, scores, ids, nt, bin_top, Dt // BIN,
+                    Dt, self.scan_layout, Cf, Tf, self._pos, qb, sn,
+                    self.repair_bins,
+                )
             f_ids, f_d = common.finalize(
                 scores, ids, Vp, qb, n, self_k, tail_V=self.tail_V
             )
@@ -495,16 +545,21 @@ class BatchedEngine:
                     + _CERT_ABS
                 )
                 thr = t + slack
-                worst = last_round_dists(
-                    out_s, nt, bin_top, Dt // BIN
-                )                                    # (B, nt·bins)
-                suspect = jnp.min(worst, axis=1) < thr
+                if remaining_min is not None:
+                    # bin term after repair: the (rb+1)-th most-saturated
+                    # bin is the only one that can still hide a candidate
+                    suspect = remaining_min < thr
+                else:
+                    worst = last_round_dists(
+                        out_s, nt, bin_top, Dt // BIN
+                    )                                # (B, nt·bins)
+                    suspect = jnp.min(worst, axis=1) < thr
                 if worst2 is not None:
                     suspect |= worst2 < thr
-                if kp < W:
+                if kcut_score is not None:
                     # the k'-cut also discards candidates; its boundary must
                     # clear t the same way
-                    suspect |= scores[:, kp - 1] < thr
+                    suspect |= kcut_score < thr
             else:
                 suspect = jnp.zeros((B,), bool)
             return self._bundle(f_ids, suspect), f_d

@@ -242,6 +242,104 @@ def finalize_view(
     )
 
 
+def bin_repair_candidates(
+    out_s: jnp.ndarray,        # (B, W) packed-scan distances (quantized)
+    cand_scores: jnp.ndarray,  # (B, k') stream-selected estimates
+    cand_pos: jnp.ndarray,     # (B, k') their positions (view/global space)
+    nt: int,
+    bin_top: int,
+    bins: int,
+    db_tile: int,
+    layout: str,
+    C: jnp.ndarray,
+    T: jnp.ndarray,
+    oid: jnp.ndarray,
+    qb: QueryBatch,
+    sn: jnp.ndarray,
+    rb: int,
+    row0=None,
+    id_offset=None,
+):
+    """In-program repair of the certificate's bin-saturation term.
+
+    The packed bin scan keeps top-R per 128-row bin; on benign Poisson
+    layouts ~C(100,2)/nbins of queries have a bin whose R-th kept value
+    lands under the exactness threshold (≈6% at D=10⁷/R=2) — each such
+    query used to pay a full-view rescan in the rerun ladder (~200 ms at
+    10⁷ rows). Instead, ALWAYS exact-refine the ``rb`` most-saturated
+    bins' 128 rows as extra candidates inside the same program: selection
+    is threshold-free (the rb smallest per-bin R-th values by iterated
+    argmin), so the bin certificate term reduces to
+    ``remaining_min < thr`` — the (rb+1)-th most-saturated bin still
+    under threshold, P ≈ (collision rate)^(rb+1), effectively never.
+
+    Returns (scores', pos', remaining_min) with the repair rows appended
+    as refine candidates: masked exactly like the scan step
+    (sample-proportion via ``oid < sn`` + category/time predicates,
+    ops.pallas_scan.deferred_packed_scan_xla:437-443), and rows already
+    present in ``cand_pos`` are dropped so the merged top-k never holds a
+    duplicate id. ``last_round_dists`` values carry quantized-DOWN low
+    bits, which only over-flags — soundness is one-sided.
+
+    ``row0``: window offset applied BEFORE the attribute gathers (the
+    partitioned wide-type-2 window scan passes full flat view arrays and
+    global view positions). ``id_offset``: shard offset applied only to
+    the RETURNED positions and the dedup compare (the sharded engine
+    gathers from shard-local arrays but carries global candidate ids).
+    """
+    from hvq_tpu.ops.pallas_scan import BIN, last_round_dists
+
+    B = out_s.shape[0]
+    lr = last_round_dists(out_s, nt, bin_top, bins)   # (B, nbins)
+    nbins = lr.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nbins), 1)
+    work = lr
+    sel_b, sel_v = [], []
+    for _ in range(rb):
+        sel_v.append(jnp.min(work, axis=1))
+        bi = jnp.argmin(work, axis=1).astype(jnp.int32)
+        sel_b.append(bi)
+        work = jnp.where(col == bi[:, None], jnp.inf, work)
+    remaining_min = jnp.min(work, axis=1)             # (B,)
+    sel_b = jnp.stack(sel_b, axis=1)                  # (B, rb)
+    sel_v = jnp.stack(sel_v, axis=1)                  # (B, rb)
+
+    tile = sel_b // bins
+    b = sel_b % bins
+    s_iota = jnp.arange(BIN, dtype=jnp.int32)[None, None, :]
+    if layout == "axis1":
+        pos = tile[:, :, None] * db_tile + s_iota * bins + b[:, :, None]
+    else:
+        pos = tile[:, :, None] * db_tile + b[:, :, None] * BIN + s_iota
+    if row0 is not None:
+        pos = pos + row0                              # window scans: global
+    # all-inf bins (tiny views, nbins < rb) repeat via argmin-of-inf — mask
+    # them or their rows would duplicate each other in the merged top-k
+    bin_ok = jnp.isfinite(sel_v)[:, :, None]
+    pos = pos.reshape(B, rb * BIN)
+    ok = jnp.broadcast_to(bin_ok, (B, rb, BIN)).reshape(B, rb * BIN)
+
+    og = jnp.take(oid, pos).astype(jnp.int32)
+    ok &= og < sn
+    ok &= (~qb.active_c[:, None]) | (jnp.take(C, pos) == qb.v[:, None])
+    Tg = jnp.take(T, pos)
+    ok &= (~qb.active_t[:, None]) | (
+        (Tg >= qb.l[:, None]) & (Tg <= qb.r[:, None])
+    )
+    out_pos = pos if id_offset is None else pos + id_offset
+    dup = jnp.any(
+        (out_pos[:, :, None] == cand_pos[:, None, :])
+        & jnp.isfinite(cand_scores)[:, None, :],
+        axis=-1,
+    )
+    rep = jnp.where(ok & ~dup, 0.0, jnp.inf)          # finite = refine me
+    return (
+        jnp.concatenate([cand_scores, rep], axis=1),
+        jnp.concatenate([cand_pos, out_pos], axis=1),
+        remaining_min,
+    )
+
+
 def tail_block_np(V: np.ndarray, t: int = 128) -> np.ndarray:
     """Host-side (t, 128) tail block: row j holds V[n-1-j], zero-padded."""
     from hvq_tpu.ops.distance import pad_vectors_np

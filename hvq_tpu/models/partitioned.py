@@ -43,6 +43,15 @@ Span buckets are powers-of-two-ish caps so jit specializations stay
 bounded; results carry original ids throughout (sample-proportion tests
 ORIGINAL ids — reference optimized.hpp:85 — and padding semantics are
 identical to the other engines).
+
+Full-path exactness mirrors BatchedEngine: packed bin scan + certificate
++ IN-PROGRAM bin repair (common.bin_repair_candidates — benign Poisson
+bin collisions, ~6 % of full-path queries at D=10⁷/R=2 and measured as
+100 % of the round-2 suspect mass via HVQ_CERT_TERMS forensics, are
+exact-refined inside the search program instead of paying a ~200 ms
+full-view rescan each through the ladder). The ladder remains for
+adversarial layouts wider than ``repair_bins``, with pow-2-compacted
+rerun batch shapes.
 """
 
 from __future__ import annotations
@@ -53,7 +62,12 @@ import numpy as np
 
 from hvq_tpu import constants as _c
 from hvq_tpu.models import common
-from hvq_tpu.models.batched import bundle_ids, id_pack_mode, unbundle_ids
+from hvq_tpu.models.batched import (
+    _pow2_batch,
+    bundle_ids,
+    id_pack_mode,
+    unbundle_ids,
+)
 from hvq_tpu.index.partition import PartitionedIndex
 from hvq_tpu.ops import masks as mask_ops
 from hvq_tpu.ops.distance import pad_vectors_np, resolve_precision
@@ -88,6 +102,11 @@ class PartitionedEngine:
         bin_top: int | None = None,
         l2_min_w: int = 16384,
         scan_layout: str = "axis1",
+        # In-program bin repair width: exact-refine the rb most-saturated
+        # bins per query so benign Poisson collisions (≈6% of queries at
+        # D=10⁷/R=2) stop triggering full-view rerun rescans; 0 disables
+        # (common.bin_repair_candidates).
+        repair_bins: int = 4,
         # Economics gate for the LAZY time view (a second full database
         # copy in HBM + upload): only materialize once a single search
         # carries enough type-2 queries to amortize it, and never beyond
@@ -170,6 +189,7 @@ class PartitionedEngine:
         # traced program at first compile)
         self.l2_min_w = l2_min_w
         self.scan_layout = scan_layout
+        self.repair_bins = int(repair_bins)
         self.dispatch_group = dispatch_group
         self.time_view_min_queries = time_view_min_queries
         self.time_view_max_bytes = time_view_max_bytes
@@ -359,6 +379,18 @@ class PartitionedEngine:
             top_neg, idx = jax.lax.top_k(-out_s, kp)
             scores = -top_neg
             cand_pos = jnp.take_along_axis(out_i, idx, axis=1)
+        # k'-cut boundary estimate BEFORE repair widens the candidate set
+        kcut_score = scores[:, kp - 1] if kp < W else None
+        remaining_min = None
+        if self.certified and self.repair_bins:
+            # in-program bin repair: exact-refine the rb worst bins' rows
+            # instead of paying the rerun ladder's full-view rescan for
+            # benign Poisson collisions (common.bin_repair_candidates)
+            scores, cand_pos, remaining_min = common.bin_repair_candidates(
+                out_s, scores, cand_pos, nt_v, bin_top, db_tile // BIN,
+                db_tile, self.scan_layout, C_view, T_view, oid_view,
+                qb, sn, self.repair_bins, row0=row0,
+            )
         f_ids, f_d = common.finalize_view(
             scores, cand_pos, Vp_view, oid_view, tail_V, qb, n, k
         )
@@ -373,12 +405,16 @@ class PartitionedEngine:
                 + _CERT_REL_T * t
                 + _CERT_ABS
             )
-            t_bin = jnp.min(
-                last_round_dists(out_s, nt_v, bin_top, db_tile // BIN),
-                axis=1,
+            t_bin = (
+                remaining_min
+                if remaining_min is not None
+                else jnp.min(
+                    last_round_dists(out_s, nt_v, bin_top, db_tile // BIN),
+                    axis=1,
+                )
             ) < thr
             t_l2 = (worst2 < thr) if worst2 is not None else None
-            t_kcut = (scores[:, kp - 1] < thr) if kp < W else None
+            t_kcut = (kcut_score < thr) if kcut_score is not None else None
             if self._cert_debug:
                 # forensics: suspect column = term bitmask (nonzero ⇒
                 # suspect, so unbundle semantics are unchanged)
@@ -750,12 +786,18 @@ class PartitionedEngine:
         )
         if deeper is not None and deeper <= self.bin_top:
             deeper = None
+        # Suspects are typically a handful per 40k queries, but the scan
+        # cost at fixed W is dominated by per-step structure, not B —
+        # compact each rung into the smallest pow-2 program shape (>=64)
+        # instead of paying a full query_batch-shaped scan. The stream
+        # rung then re-compacts to only the still-suspect queries.
         B = self.query_batch
-        for s in range(0, sus.size, B):
-            sel = sus[s : s + B]
-            a = self._query_args(sel, qs)
-            still = np.ones(sel.size, bool)
-            if deeper is not None:
+        still_q = []
+        if deeper is not None:
+            for s in range(0, sus.size, B):
+                sel = sus[s : s + B]
+                Br = _pow2_batch(sel.size, B)
+                a = self._query_args(sel, qs, B=Br)
                 b_b, d_b = self._jit_full(
                     *varg, *map(jnp.asarray, a), *scalars,
                     k=k, bin_top=deeper, level2=False,
@@ -768,16 +810,20 @@ class PartitionedEngine:
                     dists_out[sel[fixed]] = np.asarray(d_b)[: sel.size][
                         fixed
                     ]
-                still = ~fixed
-            if still.any():
-                ids_b, d_b = self._jit_stream(
-                    *varg, *map(jnp.asarray, a), *scalars, k=k
-                )
-                ids_out[sel[still]] = np.asarray(ids_b)[: sel.size][still]
-                if dists_out is not None:
-                    dists_out[sel[still]] = np.asarray(d_b)[: sel.size][
-                        still
-                    ]
+                still_q.append(sel[sus_b])
+        else:
+            still_q.append(sus)
+        sus2 = np.concatenate(still_q) if still_q else np.empty(0, sus.dtype)
+        for s in range(0, sus2.size, B):
+            sel = sus2[s : s + B]
+            Br = _pow2_batch(sel.size, B)
+            a = self._query_args(sel, qs, B=Br)
+            ids_b, d_b = self._jit_stream(
+                *varg, *map(jnp.asarray, a), *scalars, k=k
+            )
+            ids_out[sel] = np.asarray(ids_b)[: sel.size]
+            if dists_out is not None:
+                dists_out[sel] = np.asarray(d_b)[: sel.size]
 
     def _pack_groups(self, start, end, q_idx):
         """Greedy shared-window packer over start-sorted routable queries.

@@ -85,6 +85,7 @@ class ShardedEngine:
         bin_top: int | None = None,
         l2_min_w: int = 16384,
         scan_layout: str = "axis1",
+        repair_bins: int = 4,
     ):
         self.mesh = mesh or make_mesh()
         self.dispatch_group = dispatch_group
@@ -165,6 +166,8 @@ class ShardedEngine:
         # traced program at first compile)
         self.l2_min_w = l2_min_w
         self.scan_layout = scan_layout
+        # in-program bin-repair width (see common.bin_repair_candidates)
+        self.repair_bins = int(repair_bins)
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("k", "impl", "bin_top", "level2"),
@@ -288,14 +291,28 @@ class ShardedEngine:
                 if self.certified:
                     # per-shard saturation level; pmin over "d" below makes
                     # it a certificate for the whole sharded scan
-                    worst = last_round_dists(
-                        out_s, nt, bin_top, db_tile // BIN
-                    )
-                    cert_min = jnp.min(worst, axis=1)
+                    kcut = scores[:, kp - 1] if kp < W else None
+                    if self.repair_bins and impl == "xla_packed":
+                        # in-program bin repair (common.bin_repair_
+                        # candidates): gathers are shard-LOCAL, candidate
+                        # ids global — id_offset translates at the edge
+                        scores, gids, cert_min = (
+                            common.bin_repair_candidates(
+                                out_s, scores, gids, nt, bin_top,
+                                db_tile // BIN, db_tile, self.scan_layout,
+                                C_l, T_l, gid_l, qb, sn_,
+                                self.repair_bins, id_offset=offset,
+                            )
+                        )
+                    else:
+                        worst = last_round_dists(
+                            out_s, nt, bin_top, db_tile // BIN
+                        )
+                        cert_min = jnp.min(worst, axis=1)
                     if worst2 is not None:
                         cert_min = jnp.minimum(cert_min, worst2)
-                    if kp < W:
-                        cert_min = jnp.minimum(cert_min, scores[:, kp - 1])
+                    if kcut is not None:
+                        cert_min = jnp.minimum(cert_min, kcut)
             else:
                 tiles = (
                     Vp_l.reshape(nt, db_tile, Vp_l.shape[-1]),
@@ -319,6 +336,12 @@ class ShardedEngine:
             local_idx = jnp.clip(gids - offset, 0, local_n - 1)
             rows = jnp.take(Vp_l, local_idx, axis=0)
             exact = jnp.where(valid, exact_distances(qb.qV, rows), jnp.inf)
+            if exact.shape[1] > kprime:
+                # repair widened the candidate set: pre-select the local
+                # exact top-k' so the ICI all-gather stays k'-wide
+                top_neg, tidx = jax.lax.top_k(-exact, kprime)
+                exact = -top_neg
+                gids = jnp.take_along_axis(gids, tidx, axis=1)
             # Knn::merge over ICI (optimized_parallel.hpp:142-146 analogue).
             m_d, m_i = allgather_topk_merge(exact, gids, kprime, axis_name="d")
             cert_min = jax.lax.pmin(cert_min, axis_name="d")

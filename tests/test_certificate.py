@@ -44,8 +44,12 @@ def _adversarial_pair(n=16384, hot=32, seed=3, db_tile=8192):
 
 
 def test_adversarial_bin_concentration_triggers_fallback():
+    # repair_bins=0: a single hot bin is silently fixed by the in-program
+    # repair (tests/test_repair.py) — this test pins the LADDER path
     ds, qs, hot_pos = _adversarial_pair()
-    eng = BatchedEngine(ds, query_batch=8, scan_impl="xla_packed")
+    eng = BatchedEngine(
+        ds, query_batch=8, scan_impl="xla_packed", repair_bins=0
+    )
     assert eng.certified and eng.bin_top < 32
 
     calls = []
@@ -93,7 +97,8 @@ def test_sharded_adversarial_bin_concentration_triggers_fallback():
 
     ds, qs, _ = _adversarial_pair(db_tile=512)
     eng = ShardedEngine(
-        ds, db_tile=512, query_batch=8, scan_impl="xla_packed"
+        ds, db_tile=512, query_batch=8, scan_impl="xla_packed",
+        repair_bins=0,  # pin the ladder path (repair: tests/test_repair.py)
     )
     assert eng.certified and eng.bin_top < 32
 
@@ -120,7 +125,8 @@ def test_escalation_ladder_deeper_pass_suffices():
     ds = generate_dataset(65536, seed=21, categories=20)
     qs = generate_queries(32, seed=22, categories=20)
     eng = BatchedEngine(
-        ds, query_batch=32, scan_impl="xla_packed", bin_top=3
+        ds, query_batch=32, scan_impl="xla_packed", bin_top=3,
+        repair_bins=0,  # pin the ladder path (repair: tests/test_repair.py)
     )
 
     impls = []

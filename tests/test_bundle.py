@@ -53,7 +53,8 @@ def test_id_pack_mode_selection():
 
 def test_rerun_ladder_compacts_and_scatters():
     """31 scattered suspects over 4096 queries must cost exactly ONE
-    deeper run (B=1024), and results must scatter to the right rows."""
+    deeper run in the SMALLEST pow-2 program shape (B=64), and results
+    must scatter to the right rows."""
     B, k, kw = 1024, 4, 5
     m = 4096
     rng = np.random.default_rng(1)
@@ -74,7 +75,7 @@ def test_rerun_ladder_compacts_and_scatters():
     rerun_suspect_ladder(
         suspects, ids_raw, dists_out, B, kw, k, deeper=6, run=run
     )
-    assert calls == [("xla_packed", 6, B)]       # one compacted batch
+    assert calls == [("xla_packed", 6, 64)]      # one pow-2-compacted batch
     assert (ids_raw[flagged, 0] == flagged).all()
     assert (dists_out[flagged] == 7.0).all()
     untouched = ~suspects

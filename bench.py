@@ -112,6 +112,11 @@ def main() -> None:
     if os.environ.get("HVQ_BENCH_REPAIR"):
         # partitioned: in-program bin-repair width (0 disables)
         engine_kwargs["repair_bins"] = int(os.environ["HVQ_BENCH_REPAIR"])
+    if os.environ.get("HVQ_BENCH_REPAIR_GATE"):
+        # 0 = ungated repair (gather all selected bins' rows)
+        engine_kwargs["repair_gate"] = (
+            os.environ["HVQ_BENCH_REPAIR_GATE"] != "0"
+        )
     if os.environ.get("HVQ_BENCH_TV_MAX"):
         # partitioned: time-view byte budget (0 disables the 2nd view)
         engine_kwargs["time_view_max_bytes"] = int(

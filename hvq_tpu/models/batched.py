@@ -314,6 +314,7 @@ class BatchedEngine:
         l2_min_w: int = 16384,
         scan_layout: str = "axis1",
         repair_bins: int = 4,
+        repair_gate: bool = False,
     ):
         self.scan_impl = (
             _default_scan_impl() if scan_impl == "auto" else scan_impl
@@ -326,6 +327,7 @@ class BatchedEngine:
         # In-program bin-repair width (constructor-only, baked into the
         # traced program; 0 disables — see common.bin_repair_candidates)
         self.repair_bins = int(repair_bins)
+        self.repair_gate = bool(repair_gate)
         if db_tile is None:
             # 8192 rows/tile: XLA paths amortize per-step scan overhead; the
             # fused kernel gets out_w = 2·64 = 128 (Mosaic block constraint)
@@ -525,11 +527,25 @@ class BatchedEngine:
             if self.certified and self.repair_bins and impl == "xla_packed":
                 # in-program bin repair (common.bin_repair_candidates):
                 # rows are original-order here, so positions double as ids
-                # and self._pos is the sample-mask array the scan used
+                # and self._pos is the sample-mask array the scan used.
+                # thr_pre gates the scattered gather to saturated bins
+                # (k-th candidate estimate + doubled slack ≥ final thr)
+                qn_pre = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
+                if not self.repair_gate:
+                    thr_pre = None
+                elif self_k <= scores.shape[1]:
+                    t_pre = scores[:, self_k - 1]
+                    thr_pre = t_pre + 2.0 * (
+                        _CERT_REL_MM * (qn_pre + self._dn_max)
+                        + _CERT_REL_T * t_pre
+                        + _CERT_ABS
+                    )
+                else:
+                    thr_pre = jnp.full(scores.shape[:1], jnp.inf)
                 scores, ids, remaining_min = common.bin_repair_candidates(
                     out_s, scores, ids, nt, bin_top, Dt // BIN,
                     Dt, self.scan_layout, Cf, Tf, self._pos, qb, sn,
-                    self.repair_bins,
+                    self.repair_bins, thr_pre=thr_pre,
                 )
             f_ids, f_d = common.finalize(
                 scores, ids, Vp, qb, n, self_k, tail_V=self.tail_V

@@ -107,6 +107,7 @@ class PartitionedEngine:
         # D=10⁷/R=2) stop triggering full-view rerun rescans; 0 disables
         # (common.bin_repair_candidates).
         repair_bins: int = 4,
+        repair_gate: bool = False,
         # Economics gate for the LAZY time view (a second full database
         # copy in HBM + upload): only materialize once a single search
         # carries enough type-2 queries to amortize it, and never beyond
@@ -190,6 +191,7 @@ class PartitionedEngine:
         self.l2_min_w = l2_min_w
         self.scan_layout = scan_layout
         self.repair_bins = int(repair_bins)
+        self.repair_gate = bool(repair_gate)
         self.dispatch_group = dispatch_group
         self.time_view_min_queries = time_view_min_queries
         self.time_view_max_bytes = time_view_max_bytes
@@ -385,11 +387,26 @@ class PartitionedEngine:
         if self.certified and self.repair_bins:
             # in-program bin repair: exact-refine the rb worst bins' rows
             # instead of paying the rerun ladder's full-view rescan for
-            # benign Poisson collisions (common.bin_repair_candidates)
+            # benign Poisson collisions (common.bin_repair_candidates).
+            # thr_pre: provisional threshold from the k-th candidate
+            # ESTIMATE + doubled slack — provably ≥ the final threshold,
+            # gates the scattered-row gather to actually-saturated bins
+            qn_pre = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
+            if not self.repair_gate:
+                thr_pre = None
+            elif k <= scores.shape[1]:
+                t_pre = scores[:, k - 1]
+                thr_pre = t_pre + 2.0 * (
+                    _CERT_REL_MM * (qn_pre + self._dn_max)
+                    + _CERT_REL_T * t_pre
+                    + _CERT_ABS
+                )
+            else:
+                thr_pre = jnp.full(scores.shape[:1], jnp.inf)
             scores, cand_pos, remaining_min = common.bin_repair_candidates(
                 out_s, scores, cand_pos, nt_v, bin_top, db_tile // BIN,
                 db_tile, self.scan_layout, C_view, T_view, oid_view,
-                qb, sn, self.repair_bins, row0=row0,
+                qb, sn, self.repair_bins, row0=row0, thr_pre=thr_pre,
             )
         f_ids, f_d = common.finalize_view(
             scores, cand_pos, Vp_view, oid_view, tail_V, qb, n, k

@@ -86,6 +86,7 @@ class ShardedEngine:
         l2_min_w: int = 16384,
         scan_layout: str = "axis1",
         repair_bins: int = 4,
+        repair_gate: bool = False,
     ):
         self.mesh = mesh or make_mesh()
         self.dispatch_group = dispatch_group
@@ -168,6 +169,7 @@ class ShardedEngine:
         self.scan_layout = scan_layout
         # in-program bin-repair width (see common.bin_repair_candidates)
         self.repair_bins = int(repair_bins)
+        self.repair_gate = bool(repair_gate)
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("k", "impl", "bin_top", "level2"),
@@ -295,13 +297,33 @@ class ShardedEngine:
                     if self.repair_bins and impl == "xla_packed":
                         # in-program bin repair (common.bin_repair_
                         # candidates): gathers are shard-LOCAL, candidate
-                        # ids global — id_offset translates at the edge
+                        # ids global — id_offset translates at the edge.
+                        # thr_pre from the LOCAL k-th estimate still upper-
+                        # bounds the GLOBAL final threshold (the global
+                        # k-th exact distance is ≤ any shard's local one)
+                        qn_pre = jnp.sum(
+                            qV_l.astype(jnp.float32) ** 2, axis=1
+                        )
+                        if not self.repair_gate:
+                            thr_pre = None
+                        elif k <= scores.shape[1]:
+                            t_pre = scores[:, k - 1]
+                            thr_pre = t_pre + 2.0 * (
+                                _CERT_REL_MM * (qn_pre + self._dn_max)
+                                + _CERT_REL_T * t_pre
+                                + _CERT_ABS
+                            )
+                        else:
+                            thr_pre = jnp.full(
+                                scores.shape[:1], jnp.inf
+                            )
                         scores, gids, cert_min = (
                             common.bin_repair_candidates(
                                 out_s, scores, gids, nt, bin_top,
                                 db_tile // BIN, db_tile, self.scan_layout,
                                 C_l, T_l, gid_l, qb, sn_,
                                 self.repair_bins, id_offset=offset,
+                                thr_pre=thr_pre,
                             )
                         )
                     else:

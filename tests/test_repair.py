@@ -180,6 +180,48 @@ def test_sharded_engine_repair_exact():
     assert recall_at_k(ids, oids, dists, odists) == 1.0
 
 
+def test_repair_gate_path_still_repairs(monkeypatch):
+    """repair_gate=True (non-default: measured 10% slower at D=10⁷, kept
+    as a knob) must still silently repair a genuinely saturated bin — the
+    provisional threshold provably exceeds the final one, so a real
+    collision is never gated off."""
+    monkeypatch.setenv("HVQ_CERT_TERMS", "1")
+    rng = np.random.default_rng(12)
+    ds, qs = _data()
+    _plant(ds, qs, bin_no=7, n_rows=3, rng=rng)
+    eng = _run(ds, qs, bin_top=2, repair_gate=True)
+    assert eng._last_cert_terms[0] == 0, "gated repair must stay silent"
+
+
+def test_sharded_attack_wider_than_repair_escalates():
+    """Sharded: hot rows in more local bins than repair_bins — the pmin'd
+    residual must flag and the distributed ladder must restore exactness."""
+    rng = np.random.default_rng(13)
+    ds, qs = _data()
+    bins = DB_TILE // BIN
+    for j in range(5):
+        pos = (3 + 2 * j) + bins * np.arange(3)  # shard 0, tile 0
+        ds.V[pos] = qs.V[0] + rng.normal(
+            0, 1e-4, (3, ds.V.shape[1])
+        ).astype(np.float32)
+    eng = hvq_tpu.get_engine("sharded")(
+        ds, db_tile=DB_TILE, query_batch=8, scan_impl="xla_packed",
+        bin_top=2, repair_bins=2,
+    )
+    calls = []
+    orig = eng._rerun_suspects
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    eng._rerun_suspects = spy
+    ids, dists = eng.search(qs, k=10)
+    oids, odists = search_oracle(ds, qs, k=10)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+    assert calls, "sharded residual bin term must escalate to the ladder"
+
+
 def test_lane_layout_repair():
     """Lane-layout decode: bin b holds contiguous view positions
     b*128..b*128+127 — plant 3 dups in one contiguous block (batched

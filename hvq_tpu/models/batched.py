@@ -328,6 +328,13 @@ class BatchedEngine:
         # traced program; 0 disables — see common.bin_repair_candidates)
         self.repair_bins = int(repair_bins)
         self.repair_gate = bool(repair_gate)
+        # Certificate forensics (HVQ_CERT_TERMS=1 before construction):
+        # same bitmask semantics as PartitionedEngine (1 = bin/residual,
+        # 2 = level-2, 4 = k'-cut); nonzero still reads as suspect.
+        import os as _os
+
+        self._cert_debug = _os.environ.get("HVQ_CERT_TERMS") == "1"
+        self._last_cert_terms: np.ndarray | None = None
         if db_tile is None:
             # 8192 rows/tile: XLA paths amortize per-step scan overhead; the
             # fused kernel gets out_w = 2·64 = 128 (Mosaic block constraint)
@@ -564,18 +571,31 @@ class BatchedEngine:
                 if remaining_min is not None:
                     # bin term after repair: the (rb+1)-th most-saturated
                     # bin is the only one that can still hide a candidate
-                    suspect = remaining_min < thr
+                    t_bin = remaining_min < thr
                 else:
                     worst = last_round_dists(
                         out_s, nt, bin_top, Dt // BIN
                     )                                # (B, nt·bins)
-                    suspect = jnp.min(worst, axis=1) < thr
-                if worst2 is not None:
-                    suspect |= worst2 < thr
-                if kcut_score is not None:
-                    # the k'-cut also discards candidates; its boundary must
-                    # clear t the same way
-                    suspect |= kcut_score < thr
+                    t_bin = jnp.min(worst, axis=1) < thr
+                t_l2 = (worst2 < thr) if worst2 is not None else None
+                # the k'-cut also discards candidates; its boundary must
+                # clear t the same way
+                t_kc = (
+                    (kcut_score < thr) if kcut_score is not None else None
+                )
+                if self._cert_debug:
+                    # forensics bitmask (nonzero ⇒ suspect)
+                    suspect = t_bin.astype(jnp.int32)
+                    if t_l2 is not None:
+                        suspect += 2 * t_l2.astype(jnp.int32)
+                    if t_kc is not None:
+                        suspect += 4 * t_kc.astype(jnp.int32)
+                else:
+                    suspect = t_bin
+                    if t_l2 is not None:
+                        suspect |= t_l2
+                    if t_kc is not None:
+                        suspect |= t_kc
             else:
                 suspect = jnp.zeros((B,), bool)
             return self._bundle(f_ids, suspect), f_d
@@ -685,6 +705,8 @@ class BatchedEngine:
                     dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
 
         ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
+        if self._cert_debug:
+            self._last_cert_terms = bundle_raw[: qs.m, -1].copy()
         if suspects.any():
             # ids_raw is a view of bundle_raw: ladder writes land in place
             with maybe_phase(phases, "search/rerun"):

@@ -268,4 +268,20 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled backend can be transiently UNAVAILABLE (observed: a
+    # multi-hour relay outage mid-round-2); a bounded outer retry keeps a
+    # driver-scheduled bench from reporting nothing over a blip.
+    for _attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001 — textual by necessity
+            txt = str(e).upper()
+            if _attempt == 2 or "UNAVAILABLE" not in txt:
+                raise
+            print(
+                f"backend unavailable (attempt {_attempt + 1}/3), "
+                "retrying in 120 s",
+                file=sys.stderr,
+            )
+            time.sleep(120)

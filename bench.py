@@ -110,7 +110,7 @@ def main() -> None:
     if os.environ.get("HVQ_BENCH_KPRIME"):
         engine_kwargs["kprime"] = int(os.environ["HVQ_BENCH_KPRIME"])
     if os.environ.get("HVQ_BENCH_REPAIR"):
-        # partitioned: in-program bin-repair width (0 disables)
+        # any dense engine: in-program bin-repair width (0 disables)
         engine_kwargs["repair_bins"] = int(os.environ["HVQ_BENCH_REPAIR"])
     if os.environ.get("HVQ_BENCH_REPAIR_GATE"):
         # 0 = ungated repair (gather all selected bins' rows)

@@ -537,18 +537,14 @@ class BatchedEngine:
                 # and self._pos is the sample-mask array the scan used.
                 # thr_pre gates the scattered gather to saturated bins
                 # (k-th candidate estimate + doubled slack ≥ final thr)
-                qn_pre = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
-                if not self.repair_gate:
-                    thr_pre = None
-                elif self_k <= scores.shape[1]:
-                    t_pre = scores[:, self_k - 1]
-                    thr_pre = t_pre + 2.0 * (
-                        _CERT_REL_MM * (qn_pre + self._dn_max)
-                        + _CERT_REL_T * t_pre
-                        + _CERT_ABS
+                thr_pre = (
+                    common.repair_thr_pre(
+                        scores, self_k, qV, self._dn_max,
+                        _CERT_REL_MM, _CERT_REL_T, _CERT_ABS,
                     )
-                else:
-                    thr_pre = jnp.full(scores.shape[:1], jnp.inf)
+                    if self.repair_gate
+                    else None
+                )
                 scores, ids, remaining_min = common.bin_repair_candidates(
                     out_s, scores, ids, nt, bin_top, Dt // BIN,
                     Dt, self.scan_layout, Cf, Tf, self._pos, qb, sn,
@@ -583,19 +579,9 @@ class BatchedEngine:
                 t_kc = (
                     (kcut_score < thr) if kcut_score is not None else None
                 )
-                if self._cert_debug:
-                    # forensics bitmask (nonzero ⇒ suspect)
-                    suspect = t_bin.astype(jnp.int32)
-                    if t_l2 is not None:
-                        suspect += 2 * t_l2.astype(jnp.int32)
-                    if t_kc is not None:
-                        suspect += 4 * t_kc.astype(jnp.int32)
-                else:
-                    suspect = t_bin
-                    if t_l2 is not None:
-                        suspect |= t_l2
-                    if t_kc is not None:
-                        suspect |= t_kc
+                suspect = common.cert_suspect(
+                    t_bin, t_l2, t_kc, self._cert_debug
+                )
             else:
                 suspect = jnp.zeros((B,), bool)
             return self._bundle(f_ids, suspect), f_d

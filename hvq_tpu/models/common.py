@@ -242,6 +242,51 @@ def finalize_view(
     )
 
 
+def repair_thr_pre(scores, k: int, qV, dn_max, rel_mm, rel_t, abs_):
+    """Provisional saturation threshold for the repair gather gate.
+
+    Built from the k-th candidate ESTIMATE plus DOUBLED slack: the k-th
+    exact distance can only be smaller than estimate + slack (the slack
+    covers matmul accumulation both ways and the packed-key quantization
+    via the rel_t term's 8× margin), so thr_pre ≥ the final certificate
+    threshold — gating a bin off with sel_v ≥ thr_pre is always sound.
+    Returns +inf (repair every selected bin) when the candidate stream is
+    narrower than k. ONE definition for all three engines: the soundness
+    argument must not fork per engine.
+    """
+    import jax.numpy as jnp
+
+    qn = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
+    if k <= scores.shape[1]:
+        t_pre = scores[:, k - 1]
+        return t_pre + 2.0 * (rel_mm * (qn + dn_max) + rel_t * t_pre + abs_)
+    return jnp.full(scores.shape[:1], jnp.inf)
+
+
+def cert_suspect(t_bin, t_l2, t_kc, debug: bool):
+    """Assemble the certificate suspect column from its terms.
+
+    ``debug`` (HVQ_CERT_TERMS forensics): an int32 bitmask (1 = bin /
+    post-repair residual, 2 = level-2, 4 = k'-cut) — nonzero still reads
+    as suspect on the host. Otherwise a plain bool OR.
+    """
+    import jax.numpy as jnp
+
+    if debug:
+        s = t_bin.astype(jnp.int32)
+        if t_l2 is not None:
+            s += 2 * t_l2.astype(jnp.int32)
+        if t_kc is not None:
+            s += 4 * t_kc.astype(jnp.int32)
+        return s
+    s = t_bin
+    if t_l2 is not None:
+        s |= t_l2
+    if t_kc is not None:
+        s |= t_kc
+    return s
+
+
 def bin_repair_candidates(
     out_s: jnp.ndarray,        # (B, W) packed-scan distances (quantized)
     cand_scores: jnp.ndarray,  # (B, k') stream-selected estimates

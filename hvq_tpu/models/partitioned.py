@@ -391,18 +391,14 @@ class PartitionedEngine:
             # thr_pre: provisional threshold from the k-th candidate
             # ESTIMATE + doubled slack — provably ≥ the final threshold,
             # gates the scattered-row gather to actually-saturated bins
-            qn_pre = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
-            if not self.repair_gate:
-                thr_pre = None
-            elif k <= scores.shape[1]:
-                t_pre = scores[:, k - 1]
-                thr_pre = t_pre + 2.0 * (
-                    _CERT_REL_MM * (qn_pre + self._dn_max)
-                    + _CERT_REL_T * t_pre
-                    + _CERT_ABS
+            thr_pre = (
+                common.repair_thr_pre(
+                    scores, k, qV, self._dn_max,
+                    _CERT_REL_MM, _CERT_REL_T, _CERT_ABS,
                 )
-            else:
-                thr_pre = jnp.full(scores.shape[:1], jnp.inf)
+                if self.repair_gate
+                else None
+            )
             scores, cand_pos, remaining_min = common.bin_repair_candidates(
                 out_s, scores, cand_pos, nt_v, bin_top, db_tile // BIN,
                 db_tile, self.scan_layout, C_view, T_view, oid_view,
@@ -432,20 +428,9 @@ class PartitionedEngine:
             ) < thr
             t_l2 = (worst2 < thr) if worst2 is not None else None
             t_kcut = (kcut_score < thr) if kcut_score is not None else None
-            if self._cert_debug:
-                # forensics: suspect column = term bitmask (nonzero ⇒
-                # suspect, so unbundle semantics are unchanged)
-                suspect = t_bin.astype(jnp.int32)
-                if t_l2 is not None:
-                    suspect += 2 * t_l2.astype(jnp.int32)
-                if t_kcut is not None:
-                    suspect += 4 * t_kcut.astype(jnp.int32)
-            else:
-                suspect = t_bin
-                if t_l2 is not None:
-                    suspect |= t_l2
-                if t_kcut is not None:
-                    suspect |= t_kcut
+            suspect = common.cert_suspect(
+                t_bin, t_l2, t_kcut, self._cert_debug
+            )
         else:
             suspect = jnp.zeros((qV.shape[0],), bool)
         # [packed ids | certificate bit] as ONE fetched int32 tensor — a

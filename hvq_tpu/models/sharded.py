@@ -301,22 +301,14 @@ class ShardedEngine:
                         # thr_pre from the LOCAL k-th estimate still upper-
                         # bounds the GLOBAL final threshold (the global
                         # k-th exact distance is ≤ any shard's local one)
-                        qn_pre = jnp.sum(
-                            qV_l.astype(jnp.float32) ** 2, axis=1
+                        thr_pre = (
+                            common.repair_thr_pre(
+                                scores, k, qV_l, self._dn_max,
+                                _CERT_REL_MM, _CERT_REL_T, _CERT_ABS,
+                            )
+                            if self.repair_gate
+                            else None
                         )
-                        if not self.repair_gate:
-                            thr_pre = None
-                        elif k <= scores.shape[1]:
-                            t_pre = scores[:, k - 1]
-                            thr_pre = t_pre + 2.0 * (
-                                _CERT_REL_MM * (qn_pre + self._dn_max)
-                                + _CERT_REL_T * t_pre
-                                + _CERT_ABS
-                            )
-                        else:
-                            thr_pre = jnp.full(
-                                scores.shape[:1], jnp.inf
-                            )
                         scores, gids, cert_min = (
                             common.bin_repair_candidates(
                                 out_s, scores, gids, nt, bin_top,

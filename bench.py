@@ -1,14 +1,33 @@
 """Benchmark runner: hybrid k-NN QPS on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints the official JSON line {"metric", "value", "unit", "vs_baseline", ...}
+IMMEDIATELY after the timed search — a later failure (oracle check, relay
+outage) can no longer erase the measurement (round-2 lesson: BENCH_r02.json
+recorded rc=124/parsed=null because the whole run died before the single
+print at the end). If the oracle check completes afterwards, an ENRICHED
+superset line is printed; a driver parsing either the first or the last JSON
+line gets a valid record.
 
-Default config mirrors the reference's medium set (D=10^6, Q=10^4,
-BASELINE.md: best 68.11 s on 6 CPU threads => 146.8 QPS). Environment
-overrides:
+Robustness layers (all measured against this environment's axon relay):
 
-  HVQ_BENCH_N        database rows        (default 1_000_000)
-  HVQ_BENCH_Q        total queries        (default 10_000)
-  HVQ_BENCH_ENGINE   engine name          (default "batched")
+* the generated dataset/queries are CACHED on disk keyed by their config
+  (``/tmp/hvq_data_cache``), so re-runs and fallback attempts skip the 66 s
+  generate;
+* the run is supervised: ``python bench.py`` re-execs itself as
+  ``bench.py --attempt <engine>`` under a wall-clock budget and falls back
+  to ``batched`` (few program shapes → bounded cold-compile time) if the
+  default ``partitioned`` attempt exceeds its budget without printing;
+* the oracle spot-check runs on a host thread OVERLAPPING warmup, pausable
+  at query granularity so it never contends with the timed region (this
+  host has ONE core — concurrent host work inflates QPS phases 30 %+);
+* transient-backend retries sleep 20 s, not 120 s.
+
+Default config is the reference's LARGE set (D=10^7, Q=4x10^4; CPU best
+case 664 s on 6 threads => 15 QPS, BASELINE.md). Environment overrides:
+
+  HVQ_BENCH_N        database rows        (default 10_000_000)
+  HVQ_BENCH_Q        total queries        (default 40_000)
+  HVQ_BENCH_ENGINE   engine name          (default "partitioned")
   HVQ_BENCH_BASELINE baseline QPS         (default computed from N)
   HVQ_BENCH_CATS     category count       (default 1000, contest-like)
   HVQ_BENCH_CHECK    oracle spot-check queries (default 5)
@@ -16,6 +35,9 @@ overrides:
   HVQ_BENCH_DTYPE    "bf16" = low-precision fast mode (recall reported)
   HVQ_BENCH_SCAN_IMPL / HVQ_BENCH_DB_TILE / HVQ_BENCH_QB / HVQ_BENCH_PRECISION
   HVQ_BENCH_LOG      markdown file to append a CHANGELOG-style row to
+  HVQ_BENCH_BUDGET1 / HVQ_BENCH_BUDGET2   attempt wall budgets, seconds
+  HVQ_BENCH_NO_FALLBACK=1                 single attempt, no engine ladder
+  HVQ_BENCH_CACHE    dataset cache dir ("" disables caching)
 
 Baseline QPS (reference, i5-8400 6C best case, BASELINE.md):
   D=10^4:  10^4 q / 0.66 s  = 15152 QPS   (report "Optimization #2")
@@ -27,7 +49,9 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 
@@ -39,40 +63,160 @@ def _baseline_qps(n: int) -> float:
     return 10_000 / 0.66
 
 
-def main() -> None:
+def _config():
+    n = int(os.environ.get("HVQ_BENCH_N", 10_000_000))
+    q = int(os.environ.get("HVQ_BENCH_Q", 40_000))
+    cats = int(os.environ.get("HVQ_BENCH_CATS", 1000))
+    clusters = int(os.environ.get("HVQ_BENCH_CLUSTERS", 0)) or None
+    types = tuple(
+        int(t) for t in os.environ.get("HVQ_BENCH_TYPES", "0,1,2,3").split(",")
+    )
+    return n, q, cats, clusters, types
+
+
+# --- dataset cache ---------------------------------------------------------
+
+def _cache_dir() -> str | None:
+    d = os.environ.get("HVQ_BENCH_CACHE", "/tmp/hvq_data_cache")
+    return d or None
+
+
+def load_or_generate(n, q, cats, clusters, types):
+    """Generate-or-load the bench dataset/queries (host-only, no jax).
+
+    Arrays are memory-mapped from the cache — the 4 GB large-set vector
+    block loads in seconds from page cache instead of a 66 s regenerate,
+    which matters twice: on every re-run of the bench, and for the
+    supervised fallback attempt (which starts a fresh process).
+    """
+    import numpy as np
+
+    from hvq_tpu.utils.formats import Dataset, QuerySet
+    from hvq_tpu.utils.generators import generate_dataset, generate_queries
+
+    root = _cache_dir()
+    key = (
+        f"n{n}_q{q}_c{cats}_cl{clusters or 0}_"
+        f"t{''.join(map(str, types))}_s0s1_v1"
+    )
+    d = os.path.join(root, key) if root else None
+    if d and os.path.exists(os.path.join(d, "ok")):
+        arr = {
+            f: np.load(os.path.join(d, f + ".npy"), mmap_mode="r")
+            for f in ("C", "T", "V", "qtype", "qv", "ql", "qr", "qV")
+        }
+        ds = Dataset(C=arr["C"], T=arr["T"], V=arr["V"])
+        qs = QuerySet(
+            qtype=arr["qtype"], v=arr["qv"], l=arr["ql"], r=arr["qr"],
+            V=arr["qV"],
+        )
+        return ds, qs
+    ds = generate_dataset(n, seed=0, categories=cats, clusters=clusters)
+    qs = generate_queries(
+        q, seed=1, categories=cats, clusters=clusters, centers_seed=0,
+        types=types,
+    )
+    if d:
+        tmp = d + f".tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for f, a in (
+            ("C", ds.C), ("T", ds.T), ("V", ds.V), ("qtype", qs.qtype),
+            ("qv", qs.v), ("ql", qs.l), ("qr", qs.r), ("qV", qs.V),
+        ):
+            np.save(os.path.join(tmp, f + ".npy"), a)
+        open(os.path.join(tmp, "ok"), "w").close()
+        try:
+            os.rename(tmp, d)          # atomic publish; loser cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ds, qs
+
+
+# --- overlapped oracle check ----------------------------------------------
+
+class OracleThread(threading.Thread):
+    """Computes oracle results for the first ``check_n`` queries on a host
+    thread, abortable at query granularity (each query costs ~15-20 s at
+    D=10^7) so the timed region never shares the single host core."""
+
+    def __init__(self, ds, qs, check_n: int):
+        super().__init__(daemon=True)
+        self.ds, self.qs, self.check_n = ds, qs, check_n
+        self.abort = threading.Event()
+        self.oids, self.odists = [], []
+
+    def run(self):
+        from hvq_tpu.models.oracle import search_oracle
+
+        qs = self.qs
+        for i in range(self.check_n):
+            if self.abort.is_set():
+                return
+            sub = type(qs)(
+                qtype=qs.qtype[i : i + 1], v=qs.v[i : i + 1],
+                l=qs.l[i : i + 1], r=qs.r[i : i + 1], V=qs.V[i : i + 1],
+            )
+            oid, od = search_oracle(self.ds, sub)
+            self.oids.append(oid[0])
+            self.odists.append(od[0])
+
+
+def _check_fields(ds, qs, ids, dists, oracle: OracleThread):
+    """Recall/dist-contract fields from however many oracle queries finished."""
+    import numpy as np
+
+    from hvq_tpu.utils.compare import compare_distances, recall_at_k
+    from hvq_tpu.utils.formats import recompute_result_distances
+
+    c = len(oracle.odists)
+    if c == 0:
+        return {}
+    oids = np.stack(oracle.oids[:c])
+    odists = np.stack(oracle.odists[:c])
+    sub = type(qs)(
+        qtype=qs.qtype[:c], v=qs.v[:c], l=qs.l[:c], r=qs.r[:c], V=qs.V[:c],
+    )
+    res = compare_distances(
+        recompute_result_distances(ds, sub, ids[:c].astype(np.int64)),
+        recompute_result_distances(ds, sub, oids.astype(np.int64)),
+    )
+    check_d = (
+        dists[:c]
+        if dists is not None
+        else recompute_result_distances(ds, sub, ids[:c].astype(np.int64))
+    )
+    return {
+        "checked_queries": c,
+        "recall_at_100": round(recall_at_k(ids[:c], oids, check_d, odists), 6),
+        "dist_check": res.status,
+        "max_dist_diff": res.max_abs_diff,
+    }
+
+
+# --- one measurement attempt ------------------------------------------------
+
+def attempt(engine_name: str) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    if os.environ.get("HVQ_BENCH_PLATFORM"):
+        # CPU smoke-testing: the image's sitecustomize registers the axon
+        # plugin and pins JAX_PLATFORMS=axon; only the config update wins.
+        jax.config.update("jax_platforms", os.environ["HVQ_BENCH_PLATFORM"])
 
     import numpy as np
 
     from hvq_tpu.models.registry import get_engine
-    from hvq_tpu.utils.generators import generate_dataset, generate_queries
     from hvq_tpu.utils.timing import PhaseTimer
 
-    # Default = the reference's LARGE set (D=10^7, Q=4x10^4): the config
-    # BASELINE.json's headline metric is defined on (CPU best: 15 QPS).
-    n = int(os.environ.get("HVQ_BENCH_N", 10_000_000))
-    q = int(os.environ.get("HVQ_BENCH_Q", 40_000))
-    # partitioned: the measured winner on the mixed contest workload
-    # (7364 QPS at D=10⁷ vs the dense engine's 4506, r2) — selective
-    # queries route to shared windows, wide ones share the dense scan
-    engine_name = os.environ.get("HVQ_BENCH_ENGINE", "partitioned")
-    cats = int(os.environ.get("HVQ_BENCH_CATS", 1000))
+    n, q, cats, clusters, types = _config()
     baseline = float(os.environ.get("HVQ_BENCH_BASELINE", _baseline_qps(n)))
 
-    clusters = int(os.environ.get("HVQ_BENCH_CLUSTERS", 0)) or None
-    # e.g. HVQ_BENCH_TYPES=1,3 → selective-predicate-only workload
-    types = tuple(
-        int(t) for t in os.environ.get("HVQ_BENCH_TYPES", "0,1,2,3").split(",")
-    )
-
     # First backend touch pays the relay/device initialization (measured
-    # 300-900 s through this environment's tunnel, experiments round 2:
-    # an 8 MB first upload took 860 s while the next ran at 38 MB/s).
-    # Start it NOW on a thread so it overlaps the host-side generate.
-    import threading
-
+    # 300-900 s through this environment's tunnel). Start it NOW on a
+    # thread so it overlaps the host-side generate/load.
     def _warm_device():
         try:
             import jax.numpy as jnp
@@ -86,11 +230,7 @@ def main() -> None:
 
     timer = PhaseTimer()
     with timer.phase("generate"):
-        ds = generate_dataset(n, seed=0, categories=cats, clusters=clusters)
-        qs = generate_queries(
-            q, seed=1, categories=cats, clusters=clusters, centers_seed=0,
-            types=types,
-        )
+        ds, qs = load_or_generate(n, q, cats, clusters, types)
 
     engine_kwargs = {}
     if os.environ.get("HVQ_BENCH_SCAN_IMPL"):
@@ -137,17 +277,12 @@ def main() -> None:
 
         engine = ResilientEngine(engine)
 
-    # Warmup: compile all program shapes. The dispatch plan (group sizes)
-    # depends on the full query count, so warm with the full set — the
-    # second warm run is then a pure steady-state sanity pass.
-    warm_n = q
-    warm = type(qs)(
-        qtype=qs.qtype[:warm_n],
-        v=qs.v[:warm_n],
-        l=qs.l[:warm_n],
-        r=qs.r[:warm_n],
-        V=qs.V[:warm_n],
-    )
+    # Oracle spot-check overlaps warmup on a host thread (see OracleThread).
+    check_n = int(os.environ.get("HVQ_BENCH_CHECK", 5))
+    oracle = OracleThread(ds, qs, check_n)
+    if check_n:
+        oracle.start()
+
     # The timed region produces ids only — the reference's vec_query
     # contract (optimized_impl.h:392-437 returns ids; .dist is recomputed
     # from ids AFTER the timed region, src/test.cpp:95-110). Engines that
@@ -161,9 +296,23 @@ def main() -> None:
         and os.environ.get("HVQ_BENCH_FETCH_DISTS") != "1"
         else {}
     )
+    # Warmup: compile all program shapes. The dispatch plan (group sizes)
+    # depends on the full query count, so warm with the full set — the
+    # second warm run is then a pure steady-state sanity pass.
     with timer.phase("warmup_compile"):
-        engine.search(warm, **search_kw)
-        engine.search(warm, **search_kw)  # second call = steady-state sanity
+        engine.search(qs, **search_kw)
+        engine.search(qs, **search_kw)  # second call = steady-state sanity
+
+    # Quiesce the host before the timed region: this box has ONE core, and
+    # a concurrent oracle query inflates the host-side phases 30 %+.
+    if check_n:
+        with timer.phase("oracle_overlap_wait"):
+            oracle.join(
+                timeout=float(os.environ.get("HVQ_BENCH_ORACLE_WAIT", 180))
+            )
+            if oracle.is_alive():
+                oracle.abort.set()
+                oracle.join(timeout=60)  # in-flight query drains in ≤ ~20 s
 
     # Host HW counters bracket the timed region like the reference's
     # PerfEvent around vec_query (src/test.cpp:82-92); the engine's
@@ -203,36 +352,42 @@ def main() -> None:
     _terms = getattr(_inner, "_last_cert_terms", None)
     if _terms is not None:
         extra["cert_terms_hist"] = np.bincount(_terms, minlength=8).tolist()
-    check_n = int(os.environ.get("HVQ_BENCH_CHECK", 5))
-    if check_n:
-        from hvq_tpu.models.oracle import search_oracle
-        from hvq_tpu.utils.compare import compare_distances, recall_at_k
-        from hvq_tpu.utils.formats import recompute_result_distances
 
-        sub = type(qs)(
-            qtype=qs.qtype[:check_n], v=qs.v[:check_n],
-            l=qs.l[:check_n], r=qs.r[:check_n], V=qs.V[:check_n],
-        )
-        with timer.phase("oracle_check"):
-            oids, odists = search_oracle(ds, sub)
-        res = compare_distances(
-            recompute_result_distances(ds, sub, ids[:check_n].astype(np.int64)),
-            recompute_result_distances(ds, sub, oids.astype(np.int64)),
-        )
-        check_d = (
-            dists[:check_n]
-            if dists is not None
-            else recompute_result_distances(
-                ds, sub, ids[:check_n].astype(np.int64)
-            )
-        )
-        extra["checked_queries"] = check_n
-        extra["recall_at_100"] = round(
-            recall_at_k(ids[:check_n], oids, check_d, odists), 6
-        )
-        extra["dist_check"] = res.status
-        extra["max_dist_diff"] = res.max_abs_diff
+    record = {
+        "metric": f"exact_hybrid_knn_qps_D{n}_Q{q}"
+        + (
+            "_types" + "".join(map(str, types))
+            if types != (0, 1, 2, 3)
+            else ""
+        ),
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / baseline, 2),
+        "baseline_qps": round(baseline, 2),
+        "wall_s": round(wall, 3),
+        "engine": engine_name,
+        "device": str(jax.devices()[0]),
+        **extra,
+    }
+    # The official line, flushed the moment the measurement exists — any
+    # later failure (oracle check, relay outage) can't erase it.
+    record.update(_check_fields(ds, qs, ids, dists, oracle))
+    print(json.dumps(record), flush=True)
     timer.report(stream=sys.stderr)
+
+    if check_n and len(oracle.odists) < min(check_n, 2):
+        # The overlapped oracle didn't finish even 2 queries (cold host or
+        # aborted for the timed region): finish a couple synchronously and
+        # print an ENRICHED superset line — last-line parsers pick it up.
+        oracle.abort.clear()
+        oracle.check_n = min(check_n, 2)
+        with timer.phase("oracle_check"):
+            oracle.run()                # synchronous, same thread object
+        fields = _check_fields(ds, qs, ids, dists, oracle)
+        if fields:
+            record.update(fields)
+            print(json.dumps(record), flush=True)
+
     log = os.environ.get("HVQ_BENCH_LOG")
     if log:
         # CHANGELOG-style perf-history row (reference CHANGELOG.md workflow)
@@ -242,46 +397,102 @@ def main() -> None:
             f.write(
                 f"| {datetime.date.today()} | {engine_name} "
                 f"| D={n} Q={q} | {qps:.1f} QPS | {qps / baseline:.2f}× "
-                f"| {extra.get('recall_at_100', '-')} "
-                f"| {extra.get('dist_check', '-')} |\n"
+                f"| {record.get('recall_at_100', '-')} "
+                f"| {record.get('dist_check', '-')} |\n"
             )
-    print(
-        json.dumps(
-            {
-                "metric": f"exact_hybrid_knn_qps_D{n}_Q{q}"
-                + (
-                    "_types" + "".join(map(str, types))
-                    if types != (0, 1, 2, 3)
-                    else ""
-                ),
-                "value": round(qps, 2),
-                "unit": "queries/s",
-                "vs_baseline": round(qps / baseline, 2),
-                "baseline_qps": round(baseline, 2),
-                "wall_s": round(wall, 3),
-                "engine": engine_name,
-                "device": str(jax.devices()[0]),
-                **extra,
-            }
-        )
-    )
 
 
-if __name__ == "__main__":
-    # The tunneled backend can be transiently UNAVAILABLE (observed: a
-    # multi-hour relay outage mid-round-2); a bounded outer retry keeps a
-    # driver-scheduled bench from reporting nothing over a blip.
+def _attempt_main(engine_name: str) -> None:
+    # Bounded retries on transient backend unavailability: the tunneled
+    # backend throws UNAVAILABLE over relay blips. Sleeps are SHORT — a
+    # long sleep spends the supervisor's budget, and a real outage (r2: a
+    # multi-hour one) won't heal in any sleep worth taking.
     for _attempt in range(3):
         try:
-            main()
-            break
+            attempt(engine_name)
+            return
         except Exception as e:  # noqa: BLE001 — textual by necessity
             txt = str(e).upper()
             if _attempt == 2 or "UNAVAILABLE" not in txt:
                 raise
             print(
                 f"backend unavailable (attempt {_attempt + 1}/3), "
-                "retrying in 120 s",
+                "retrying in 20 s",
                 file=sys.stderr,
             )
-            time.sleep(120)
+            time.sleep(20)
+
+
+# --- supervisor --------------------------------------------------------------
+
+def _run_supervised(engine_name: str, budget_s: float) -> bool:
+    """One attempt subprocess under a wall budget; True once the JSON line
+    is seen (the measurement exists — later child failures don't matter)."""
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--attempt", engine_name],
+        stdout=subprocess.PIPE,
+        text=True,
+        env=env,
+    )
+    got_json = False
+    deadline = time.monotonic() + budget_s
+
+    def _reader():
+        nonlocal got_json
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            if line.lstrip().startswith('{"metric"'):
+                got_json = True
+
+    rt = threading.Thread(target=_reader, daemon=True)
+    rt.start()
+    while proc.poll() is None and time.monotonic() < deadline:
+        time.sleep(1.0)
+    if proc.poll() is None:
+        print(
+            f"bench supervisor: engine={engine_name} exceeded its "
+            f"{budget_s:.0f}s budget, killing attempt",
+            file=sys.stderr,
+        )
+        proc.kill()
+    proc.wait()
+    rt.join(timeout=10)
+    return got_json
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--attempt":
+        _attempt_main(sys.argv[2])
+        return
+
+    # Pre-populate the dataset cache BEFORE any attempt so a killed first
+    # attempt doesn't pay generation twice (host-only, no backend touch).
+    n, q, cats, clusters, types = _config()
+    if _cache_dir():
+        load_or_generate(n, q, cats, clusters, types)
+
+    primary = os.environ.get("HVQ_BENCH_ENGINE", "partitioned")
+    ladder = [primary]
+    if os.environ.get("HVQ_BENCH_NO_FALLBACK") != "1" and primary != "batched":
+        # batched compiles O(log) program shapes vs partitioned's ~dozens —
+        # the cold-cache insurance engine (round-2 postmortem, VERDICT §1).
+        ladder.append("batched")
+    budgets = [
+        float(os.environ.get("HVQ_BENCH_BUDGET1", 2700)),
+        float(os.environ.get("HVQ_BENCH_BUDGET2", 1800)),
+    ]
+    for engine_name, budget in zip(ladder, budgets):
+        if _run_supervised(engine_name, budget):
+            return
+        print(
+            f"bench supervisor: engine={engine_name} produced no "
+            "measurement, falling back",
+            file=sys.stderr,
+        )
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,15 @@ class ShardedEngine:
         # in-program bin-repair width (see common.bin_repair_candidates)
         self.repair_bins = int(repair_bins)
         self.repair_gate = bool(repair_gate)
+        # Certificate forensics (HVQ_CERT_TERMS=1 before construction):
+        # same bitmask semantics as BatchedEngine (1 = bin/residual,
+        # 2 = level-2, 4 = k'-cut). Each term is pmin-reduced over "d"
+        # separately so the histogram matches the single-chip engines on
+        # the same layout (the diagnostic that drove the round-2 repair).
+        import os as _os
+
+        self._cert_debug = _os.environ.get("HVQ_CERT_TERMS") == "1"
+        self._last_cert_terms: np.ndarray | None = None
         self._search_jit = jax.jit(
             self._search_batch,
             static_argnames=("k", "impl", "bin_top", "level2"),
@@ -234,7 +243,11 @@ class ShardedEngine:
             offset = jax.lax.axis_index("d") * local_n
             qb = common.QueryBatch(qV_l, ac_l, v_l, at_l, l_l, r_l)
             Bl = qV_l.shape[0]
-            cert_min = jnp.full((Bl,), jnp.inf, jnp.float32)
+            # Certificate terms, kept SEPARATE through the mesh so the
+            # HVQ_CERT_TERMS bitmask matches the single-chip engines
+            # (suspect = any term under threshold, as before).
+            inf = jnp.full((Bl,), jnp.inf, jnp.float32)
+            cert_bin, cert_l2, cert_kc = inf, inf, inf
             if impl in ("pallas", "xla_deferred", "xla_packed"):
                 from hvq_tpu.ops.pallas_scan import (
                     deferred_bin_scan_xla,
@@ -291,9 +304,10 @@ class ShardedEngine:
                     scores = -top_neg
                     gids = jnp.take_along_axis(out_i, idx, axis=1)
                 if self.certified:
-                    # per-shard saturation level; pmin over "d" below makes
-                    # it a certificate for the whole sharded scan
-                    kcut = scores[:, kp - 1] if kp < W else None
+                    # per-shard saturation levels; pmin over "d" below makes
+                    # them a certificate for the whole sharded scan
+                    if kp < W:
+                        cert_kc = scores[:, kp - 1]
                     if self.repair_bins and impl == "xla_packed":
                         # in-program bin repair (common.bin_repair_
                         # candidates): gathers are shard-LOCAL, candidate
@@ -309,7 +323,7 @@ class ShardedEngine:
                             if self.repair_gate
                             else None
                         )
-                        scores, gids, cert_min = (
+                        scores, gids, cert_bin = (
                             common.bin_repair_candidates(
                                 out_s, scores, gids, nt, bin_top,
                                 db_tile // BIN, db_tile, self.scan_layout,
@@ -322,11 +336,9 @@ class ShardedEngine:
                         worst = last_round_dists(
                             out_s, nt, bin_top, db_tile // BIN
                         )
-                        cert_min = jnp.min(worst, axis=1)
+                        cert_bin = jnp.min(worst, axis=1)
                     if worst2 is not None:
-                        cert_min = jnp.minimum(cert_min, worst2)
-                    if kcut is not None:
-                        cert_min = jnp.minimum(cert_min, kcut)
+                        cert_l2 = worst2
             else:
                 tiles = (
                     Vp_l.reshape(nt, db_tile, Vp_l.shape[-1]),
@@ -358,10 +370,13 @@ class ShardedEngine:
                 gids = jnp.take_along_axis(gids, tidx, axis=1)
             # Knn::merge over ICI (optimized_parallel.hpp:142-146 analogue).
             m_d, m_i = allgather_topk_merge(exact, gids, kprime, axis_name="d")
-            cert_min = jax.lax.pmin(cert_min, axis_name="d")
-            return m_d, m_i, cert_min
+            cert = tuple(
+                jax.lax.pmin(c, axis_name="d")
+                for c in (cert_bin, cert_l2, cert_kc)
+            )
+            return (m_d, m_i) + cert
 
-        merged_d, merged_ids, cert_min = _shard_map(
+        merged_d, merged_ids, cert_bin, cert_l2, cert_kc = _shard_map(
             local_scan,
             mesh=self.mesh,
             in_specs=(
@@ -369,7 +384,9 @@ class ShardedEngine:
                 P("q", None), P("q"), P("q"), P("q"), P("q"), P("q"),
                 P(), P(),
             ),
-            out_specs=(P("q", None), P("q", None), P("q")),
+            out_specs=(
+                P("q", None), P("q", None), P("q"), P("q"), P("q"),
+            ),
             check_vma=False,
         )(Vp, C, T, dn, qV, active_c, vv, active_t, ll, rr, sn, n)
 
@@ -380,12 +397,17 @@ class ShardedEngine:
         if self.certified and impl in ("pallas", "xla_deferred", "xla_packed"):
             t = f_d[:, k - 1]
             qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
-            slack = (
+            thr = t + (
                 _CERT_REL_MM * (qnorm + self._dn_max)
                 + _CERT_REL_T * t
                 + _CERT_ABS
             )
-            suspect = cert_min < t + slack
+            # Per-term thresholds — identical bitmask semantics to the
+            # single-chip engines (absent terms are +inf → bit stays 0).
+            suspect = common.cert_suspect(
+                cert_bin < thr, cert_l2 < thr, cert_kc < thr,
+                self._cert_debug,
+            )
         else:
             suspect = jnp.zeros((B,), bool)
         return self._bundle(f_ids, suspect), f_d
@@ -452,6 +474,8 @@ class ShardedEngine:
                     dists_out[s:e] = np.asarray(d_b).reshape(e - s, k)
 
         ids_raw, suspects = bundle_raw[:, :-1], bundle_raw[:, -1].astype(bool)
+        if self._cert_debug:
+            self._last_cert_terms = bundle_raw[: qs.m, -1].copy()
         if suspects.any():
             # ids_raw is a view of bundle_raw: ladder writes land in place
             with maybe_phase(phases, "search/rerun"):

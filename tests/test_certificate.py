@@ -117,6 +117,34 @@ def test_sharded_adversarial_bin_concentration_triggers_fallback():
     assert recall_at_k(ids, oids, dists, odists) == 1.0
 
 
+def test_cert_terms_histogram_matches_batched_vs_sharded(monkeypatch):
+    """HVQ_CERT_TERMS forensics parity across the mesh: the sharded engine
+    pmin-reduces each certificate term separately, so the per-query term
+    bitmask histogram on an adversarial layout must match the single-chip
+    batched engine's (the diagnostic that drove the round-2 repair win
+    must be producible for the multi-chip path too). Same db_tile keeps
+    the 128-lane bin structure identical (shard slabs are tile-aligned)."""
+    from hvq_tpu.models.sharded import ShardedEngine
+
+    monkeypatch.setenv("HVQ_CERT_TERMS", "1")
+    ds, qs, _ = _adversarial_pair(db_tile=512)
+    kw = dict(db_tile=512, query_batch=8, scan_impl="xla_packed",
+              repair_bins=0)
+    eng_b = BatchedEngine(ds, **kw)
+    eng_s = ShardedEngine(ds, **kw)
+    oids, odists = search_oracle(ds, qs)
+    for eng in (eng_b, eng_s):
+        ids, dists = eng.search(qs)
+        assert recall_at_k(ids, oids, dists, odists) == 1.0
+        assert eng._last_cert_terms is not None
+    # the hot-bin query must flag the BIN term (bit 1) on both engines
+    assert eng_b._last_cert_terms[0] & 1
+    assert eng_s._last_cert_terms[0] & 1
+    hist_b = np.bincount(eng_b._last_cert_terms, minlength=8)
+    hist_s = np.bincount(eng_s._last_cert_terms, minlength=8)
+    assert hist_b.tolist() == hist_s.tolist()
+
+
 def test_escalation_ladder_deeper_pass_suffices():
     """With bin_top forced to 3 on a random layout (bins·P(X≥3) ≈ 0.6 per
     query), bins saturate and the certificate fires, but the 2R rerun

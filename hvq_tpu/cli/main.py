@@ -97,7 +97,7 @@ def _cmd_run(args) -> int:
             query_batch=args.query_batch,
             precision=args.precision,
         ).items()
-        if k in accepted
+        if k in accepted and v is not None
     }
     for opt in args.engine_opt or ():
         key, _, val = opt.partition("=")
@@ -268,9 +268,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--engine", default="batched")
     r.add_argument("--k", type=int, default=100)
     r.add_argument("--sample-proportion", type=float, default=1.0)
-    r.add_argument("--db-tile", type=int, default=8192)
-    r.add_argument("--query-batch", type=int, default=256)
-    r.add_argument("--precision", default="highest",
+    # None → the engine's own (measured-best) default; an explicit value
+    # overrides. A fixed CLI default here would silently undercut the
+    # engines (e.g. query_batch 256 vs the measured-best 1024, DESIGN.md).
+    r.add_argument("--db-tile", type=int, default=None)
+    r.add_argument("--query-batch", type=int, default=None)
+    r.add_argument("--precision", default=None,
                    choices=("highest", "high", "default"))
     r.add_argument("--engine-opt", action="append", metavar="KEY=VALUE",
                    help="extra engine kwargs (e.g. nprobe=32, cap=512)")

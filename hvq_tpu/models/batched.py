@@ -173,9 +173,16 @@ def bundle_ids(ids, suspect, pack_mode: str):
     trip). Shared by the batched and sharded engines — the packing scheme
     must stay in ONE place (inverse: :func:`unbundle_ids`).
     """
+    # Invariant: every id is a database position < n_pad, and callers gate
+    # the mode on n_pad (id_pack_mode) so ids always fit the field width.
+    # The mask makes the packed domain explicit: a violated invariant
+    # corrupts only the offending id instead of bleeding into its
+    # neighbors' bits through the shifts below.
     if pack_mode == "16" and ids.shape[-1] % 2 == 0:
+        ids = ids & 0xFFFF
         ids = ids[..., 0::2] | (ids[..., 1::2] << 16)
     elif pack_mode == "24" and ids.shape[-1] % 4 == 0:
+        ids = ids & 0xFFFFFF
         i0, i1, i2, i3 = (ids[..., j::4] for j in range(4))
         ids = jnp.concatenate(
             [

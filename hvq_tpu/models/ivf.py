@@ -165,7 +165,15 @@ class IVFEngine:
         qs: QuerySet,
         k: int = _c.K_DEFAULT,
         sample_proportion: float = 1.0,
-    ) -> tuple[np.ndarray, np.ndarray]:
+        return_dists: bool = True,
+        phases=None,
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Engine-protocol search (same contract as the exact engines:
+        ``return_dists=False`` skips the distance fetch — the reference's
+        timed region is ids-only, src/test.cpp:95-110 — and ``phases``
+        receives the route/probe/enqueue/fetch split)."""
+        from hvq_tpu.utils.timing import maybe_phase
+
         idx = self.index
         sn = jnp.int32(int(sample_proportion * idx.n))
         n_t = jnp.int32(idx.n)
@@ -174,47 +182,63 @@ class IVFEngine:
 
         # Route: probes scaled by 1/selectivity, bucketed to powers of two;
         # near-full-scan probe counts go to the exact masked scan instead.
-        sel = idx.selectivity(qs.qtype, qs.v, qs.l, qs.r)
-        need = np.ceil(self.nprobe / np.maximum(sel, 1e-9))
-        exact = need > max(self.exact_frac * nb, self.nprobe)
-        np_eff = np.minimum(
-            2 ** np.ceil(np.log2(np.maximum(need, 1))).astype(np.int64), nb
-        )
-        np_eff[exact] = 0  # exact-scan marker
+        with maybe_phase(phases, "search/route"):
+            sel = idx.selectivity(qs.qtype, qs.v, qs.l, qs.r)
+            need = np.ceil(self.nprobe / np.maximum(sel, 1e-9))
+            exact = need > max(self.exact_frac * nb, self.nprobe)
+            np_eff = np.minimum(
+                2 ** np.ceil(np.log2(np.maximum(need, 1))).astype(np.int64),
+                nb,
+            )
+            np_eff[exact] = 0  # exact-scan marker
 
         # Stage 1: probe rankings for all non-exact queries in one dispatch.
         probe_idx = np.nonzero(np_eff > 0)[0]
         buckets_all = None
         if probe_idx.size:
-            p_max = int(np_eff[probe_idx].max())
-            qV_probe = pad_vectors_np(
-                qs.V[probe_idx].astype(np.float32), _c.PADDED_DIM
-            )
-            buckets_all = np.asarray(
-                self._rank_jit(
-                    idx.centroids, idx.c_norms, jnp.asarray(qV_probe),
-                    p=p_max,
+            with maybe_phase(phases, "search/probe"):
+                p_max = int(np_eff[probe_idx].max())
+                qV_probe = pad_vectors_np(
+                    qs.V[probe_idx].astype(np.float32), _c.PADDED_DIM
                 )
-            )
-            probe_row = np.full(qs.m, -1, np.int64)
-            probe_row[probe_idx] = np.arange(probe_idx.size)
+                buckets_all = np.asarray(
+                    self._rank_jit(
+                        idx.centroids, idx.c_norms, jnp.asarray(qV_probe),
+                        p=p_max,
+                    )
+                )
+                probe_row = np.full(qs.m, -1, np.int64)
+                probe_row[probe_idx] = np.arange(probe_idx.size)
 
         ids_out = np.empty((qs.m, k), dtype=np.uint32)
-        dists_out = np.empty((qs.m, k), dtype=np.float32)
-        for p in np.unique(np_eff):
-            q_idx = np.nonzero(np_eff == p)[0]
-            for s in range(0, q_idx.size, B):
-                batch_idx = q_idx[s : s + B]
-                if p == 0:
-                    ids_b, d_b = self._run_scan(batch_idx, qs, sn, n_t, k)
-                else:
-                    rows = probe_row[batch_idx]
-                    probes = buckets_all[rows][:, : int(p)]
-                    ids_b, d_b = self._run_union(
-                        batch_idx, qs, probes, sn, n_t, k
-                    )
-                ids_out[batch_idx] = ids_b[: batch_idx.size]
-                dists_out[batch_idx] = d_b[: batch_idx.size]
+        dists_out = (
+            np.empty((qs.m, k), dtype=np.float32) if return_dists else None
+        )
+        # Enqueue every dispatch, fetch at the end (uploads overlap device
+        # compute and the relay's per-call latency pipelines — same shape
+        # as the exact engines' drivers).
+        pending = []
+        with maybe_phase(phases, "search/enqueue"):
+            for p in np.unique(np_eff):
+                q_idx = np.nonzero(np_eff == p)[0]
+                for s in range(0, q_idx.size, B):
+                    batch_idx = q_idx[s : s + B]
+                    if p == 0:
+                        out = self._run_scan(batch_idx, qs, sn, n_t, k)
+                    else:
+                        rows = probe_row[batch_idx]
+                        probes = buckets_all[rows][:, : int(p)]
+                        out = self._run_union(
+                            batch_idx, qs, probes, sn, n_t, k
+                        )
+                    pending.append((batch_idx, out))
+        with maybe_phase(phases, "search/fetch"):
+            for batch_idx, (ids_b, d_b) in pending:
+                ids_out[batch_idx] = np.asarray(ids_b)[
+                    : batch_idx.size
+                ].astype(np.uint32)
+                if return_dists:
+                    dists_out[batch_idx] = np.asarray(d_b)[: batch_idx.size]
         return ids_out, dists_out
 
     def _query_args(self, batch_idx, qs):
@@ -244,19 +268,17 @@ class IVFEngine:
         tile_index = np.full(size, -1, np.int32)
         tile_index[: union.size] = union
         qargs = self._query_args(batch_idx, qs)
-        ids_b, d_b = self._union_jit(
+        return self._union_jit(
             idx.Vp, idx.C, idx.T, idx.d_norms, idx.oid, self.tail_V,
             jnp.asarray(tile_index),
             *qargs, sn, n_t, k=k,
         )
-        return np.asarray(ids_b).astype(np.uint32), np.asarray(d_b)
 
     def _run_scan(self, batch_idx, qs, sn, n_t, k):
         idx = self.index
         qargs = self._query_args(batch_idx, qs)
-        ids_b, d_b = self._scan_jit(
+        return self._scan_jit(
             idx.Vp, idx.C, idx.T, idx.d_norms, idx.oid,
             self.tail_V,
             *qargs, sn, n_t, k=k,
         )
-        return np.asarray(ids_b).astype(np.uint32), np.asarray(d_b)

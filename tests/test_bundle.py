@@ -39,6 +39,21 @@ def test_bundle_nondivisible_k_never_packs(mode):
     assert (out_ids == np.asarray(ids)).all()
 
 
+@pytest.mark.parametrize("mode,mask", [("16", 0xFFFF), ("24", 0xFFFFFF)])
+def test_bundle_out_of_range_id_stays_local(mode, mask):
+    """An id violating the < n_pad invariant must corrupt only itself —
+    the field mask stops its high bits bleeding into neighbors' lanes."""
+    ids = np.arange(100, dtype=np.int64).reshape(1, 100)
+    ids[0, 1] = mask + 5                 # out of field range
+    b = np.asarray(bundle_ids(jnp.asarray(ids, jnp.int32),
+                              jnp.zeros(1, bool), mode))
+    out_ids, _ = unbundle_ids(b, 100, mode)
+    good = np.ones(100, bool)
+    good[1] = False
+    assert (out_ids[0][good] == ids[0][good]).all()
+    assert out_ids[0, 1] == (mask + 5) & mask
+
+
 def test_id_pack_mode_selection():
     from hvq_tpu.models.batched import id_pack_mode, packed_id_width
 

@@ -60,9 +60,20 @@ class SortedView:
         return self.n_pad // self.db_tile
 
 
-def _build_view(ds: Dataset, perm: np.ndarray, db_tile: int, dtype) -> SortedView:
+def _build_view(
+    ds: Dataset,
+    perm: np.ndarray,
+    db_tile: int,
+    dtype,
+    row_multiple: int | None = None,
+) -> SortedView:
+    """``row_multiple``: pad rows to this multiple instead of ``db_tile``
+    (mesh-sharded engines need every shard to hold whole tiles)."""
     n = ds.n
-    n_pad = -(-n // db_tile) * db_tile
+    rm = row_multiple or db_tile
+    if rm % db_tile:
+        raise ValueError("row_multiple must be a multiple of db_tile")
+    n_pad = -(-n // rm) * rm
     # ONE padded host buffer, filled in place (the earlier
     # reorder→pad→copy chain made three ~5 GB host copies at D=10⁷);
     # d_norms are computed ON DEVICE after the upload — one ~10 ms HBM
@@ -111,6 +122,7 @@ class PartitionedIndex:
     _ds: Dataset | None = None              # lazy-build source
     _db_tile: int = 8192
     _dtype: object = None
+    _row_multiple: int | None = None
 
     @property
     def time_view(self) -> SortedView:
@@ -129,20 +141,24 @@ class PartitionedIndex:
                 )
             perm = np.argsort(self._ds.T, kind="stable").astype(np.int64)
             self._time_view = _build_view(
-                self._ds, perm, self._db_tile, self._dtype or jnp.float32
+                self._ds, perm, self._db_tile, self._dtype or jnp.float32,
+                row_multiple=self._row_multiple,
             )
         return self._time_view
 
     @classmethod
     def build(cls, ds: Dataset, db_tile: int = 8192, dtype=jnp.float32,
-              lazy_time: bool = True):
+              lazy_time: bool = True, row_multiple: int | None = None):
         cat_perm = np.lexsort((ds.T, ds.C)).astype(np.int64)  # C major, T minor
         out = cls(
-            cat_view=_build_view(ds, cat_perm, db_tile, dtype),
+            cat_view=_build_view(
+                ds, cat_perm, db_tile, dtype, row_multiple=row_multiple
+            ),
             T_sorted=np.sort(ds.T).astype(np.float32),
             _ds=ds,
             _db_tile=db_tile,
             _dtype=dtype,
+            _row_multiple=row_multiple,
         )
         if not lazy_time:
             _ = out.time_view

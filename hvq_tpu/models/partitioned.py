@@ -174,6 +174,11 @@ class PartitionedEngine:
             # EVERY query routes — there must be a bucket covering any span
             caps.append(n_pad)
         self.route_buckets = tuple(c for c in caps if c >= kprime)
+        # Subclass seams (ShardedPartitionedEngine): whether tiny-DB
+        # queries are all forced onto the routed path, and whether the
+        # wide-type-2 window path is available at all.
+        self._route_all_fallback = self.bin_top is None
+        self._enable_window = True
         self._dn_max = (
             float(jnp.max(self.index.cat_view.d_norms))
             if self.certified
@@ -567,6 +572,7 @@ class PartitionedEngine:
         routable = np.zeros(qs.m, bool)
         if self.route_buckets:
             routable = (span <= self.route_buckets[-1]) & (span < n)
+            routable &= self._routable_extra(start, end)
         # Time-view economics: narrow type-2 queries are the ONLY users of
         # the lazy T-sorted copy. If it isn't materialized yet and this
         # call doesn't justify it (too few such queries, or the copy blows
@@ -581,7 +587,7 @@ class PartitionedEngine:
             ):
                 view_id = np.where(t2, 0, view_id)
                 routable &= ~t2
-        if self.bin_top is None:
+        if self._route_all_fallback:
             # no sound bin depth for the deferred full scan on tiny DBs:
             # route everything through the cat view's full-coverage bucket
             # with a full range — the routed kernel's predicate mask does
@@ -606,7 +612,7 @@ class PartitionedEngine:
         windowed = np.zeros(qs.m, bool)
         win_batches: list[tuple[int, int, np.ndarray]] = []
         wide_t2 = (qs.qtype == 2) & ~routable
-        if self.bin_top is not None and wide_t2.any():
+        if self._enable_window and self.bin_top is not None and wide_t2.any():
             cv = idx.cat_view
             nt = cv.num_tiles
             Dt = cv.db_tile
@@ -646,7 +652,7 @@ class PartitionedEngine:
                     continue
                 # idx.time_view is LAZY (a second full HBM copy): only narrow
                 # type-2 queries ever reach vid == 1.
-                view = idx.cat_view if vid == 0 else idx.time_view
+                view = self._get_view(vid)
                 varg = (view.Vp, view.C, view.T, view.d_norms, view.oid,
                         self.tail_V)
                 # FULL route: batched dense packed scan, grouped dispatches
@@ -685,16 +691,9 @@ class PartitionedEngine:
                 # dispatch routed_groups windows at a time per cap bucket
                 q_idx = np.nonzero((view_id == vid) & routable)[0]
                 if q_idx.size:
-                    by_cap = self._pack_groups(start, end, q_idx)
-                    for cap in sorted(by_cap):
-                        glist = by_cap[cap]
-                        for s in range(0, len(glist), self.routed_groups):
-                            chunk = glist[s : s + self.routed_groups]
-                            out, slots = self._routed_dispatch(
-                                chunk, cap, qs, start, end,
-                                varg, scalars, k,
-                            )
-                            pending.append((slots, out, None, False))
+                    self._enqueue_routed(
+                        q_idx, start, end, qs, varg, scalars, k, pending
+                    )
             # WINDOWED wide type-2 batches on the T-sorted view, grouped
             # per tile-count bucket (first touch materializes the view —
             # the bench warmup pass pays that, not the timed region)
@@ -826,6 +825,33 @@ class PartitionedEngine:
             ids_out[sel] = np.asarray(ids_b)[: sel.size]
             if dists_out is not None:
                 dists_out[sel] = np.asarray(d_b)[: sel.size]
+
+    # --- subclass seams ----------------------------------------------------
+    def _get_view(self, vid: int):
+        """View for a dispatch stream (0 = cat, 1 = time). Subclasses place
+        the arrays on their mesh here."""
+        return self.index.cat_view if vid == 0 else self.index.time_view
+
+    def _routable_extra(self, start, end):
+        """Extra per-query routability constraint (bool mask). The sharded
+        subclass rejects spans straddling a shard-slab boundary."""
+        return np.ones(start.shape[0], bool)
+
+    def _enqueue_routed(self, q_idx, start, end, qs, varg, scalars, k, pending):
+        """Pack routable queries into grouped windows and enqueue dispatches.
+
+        One seam so ShardedPartitionedEngine can substitute shard-aware
+        packing (groups homed to the shard slab that owns their window).
+        """
+        by_cap = self._pack_groups(start, end, q_idx)
+        for cap in sorted(by_cap):
+            glist = by_cap[cap]
+            for s in range(0, len(glist), self.routed_groups):
+                chunk = glist[s : s + self.routed_groups]
+                out, slots = self._routed_dispatch(
+                    chunk, cap, qs, start, end, varg, scalars, k
+                )
+                pending.append((slots, out, None, False))
 
     def _pack_groups(self, start, end, q_idx):
         """Greedy shared-window packer over start-sorted routable queries.

@@ -43,6 +43,11 @@ def _populate() -> None:
         ("batched", "hvq_tpu.models.batched", "BatchedEngine"),
         ("sharded", "hvq_tpu.models.sharded", "ShardedEngine"),
         ("partitioned", "hvq_tpu.models.partitioned", "PartitionedEngine"),
+        (
+            "partitioned_sharded",
+            "hvq_tpu.models.partitioned_sharded",
+            "ShardedPartitionedEngine",
+        ),
         ("ivf", "hvq_tpu.models.ivf", "IVFEngine"),
     ]:
         try:

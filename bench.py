@@ -262,6 +262,9 @@ def attempt(engine_name: str) -> None:
         engine_kwargs["time_view_max_bytes"] = int(
             os.environ["HVQ_BENCH_TV_MAX"]
         )
+    if os.environ.get("HVQ_BENCH_STORE"):
+        # "bf16" = certified bf16 scan plane + fp32 refine table (batched)
+        engine_kwargs["scan_store"] = os.environ["HVQ_BENCH_STORE"]
     if os.environ.get("HVQ_BENCH_DTYPE") == "bf16":
         import jax.numpy as jnp
 

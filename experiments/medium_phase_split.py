@@ -47,7 +47,7 @@ def main():
     from hvq_tpu.models.batched import QPACK_W, pack_query_block
 
     n_t = jnp.int32(ds.n)
-    db_args = (eng.db.Vp, eng.db.C, eng.db.T, eng.db.d_norms)
+    db_args = (eng.db.Vp, eng.db.scan_V, eng.db.C, eng.db.T, eng.db.d_norms)
     for i in range(REPS):
         qs = qsets[i]
         t0 = time.perf_counter()

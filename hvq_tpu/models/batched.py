@@ -65,6 +65,14 @@ recomputed host-side afterwards (src/test.cpp:95-110, io.h:50-78). Result
 ids pack 2-per-lane at 16 bits (n ≤ 65535) or 4-per-3-lanes at 24 bits
 (n ≤ 2²⁴), shrinking the fetch 50%/25% (see :func:`id_pack_mode`).
 
+``scan_store="bf16"`` keeps a rounded bf16 copy of the database that ONLY
+the selection matmul reads (one true-bf16 MXU pass instead of the 3-pass
+decomposition, half the scan bytes; +50% HBM) while refinement keeps
+gathering exact fp32 rows — so the mode stays CERTIFIED, with the widened
+``_CERT_REL_MM_BF16`` slack and a wider default k' (256). This is the
+certified successor of the old uncertified bf16 fast mode
+(``dtype=bfloat16``), which remains for memory-constrained use.
+
 Everything under ``jit`` is shape-static: query count is padded to the batch
 size, database rows to the tile size; ``sn`` (sample proportion) and ``n``
 ride through as traced scalars so changing them never recompiles.
@@ -114,6 +122,16 @@ QPACK_W = _c.VEC_DIM + 4
 _CERT_REL_MM = 1.6e-5    # × (‖q‖² + max ‖d‖²)
 _CERT_REL_T = 2.0 ** -13   # × t  (covers key quantization ×8 margin)
 _CERT_ABS = 1e-6
+# bf16 SCAN-plane mode (scan_store="bf16"): the selection matmul reads a
+# rounded bf16 copy of the database with bf16 query inputs — one true MXU
+# pass, half the scan bytes. Each operand carries ≤2⁻⁹ relative rounding,
+# so |q·d − q̂·d̂| ≤ 2·2⁻⁹·‖q‖‖d‖ (+ the fp32 accumulation term already
+# below 2⁻¹⁶); the dist's 2× cross-term factor gives
+# |err| ≤ 2⁻⁷·‖q‖‖d‖ ≤ 2⁻⁸·(‖q‖² + max‖d‖²). The constant carries 2×
+# margin. Refinement still gathers exact fp32 rows, so the widened slack
+# affects only the FLAG RATE, never reported distances; k' defaults wider
+# (256) in this mode so the k'-cut boundary clears the bigger envelope.
+_CERT_REL_MM_BF16 = 8e-3   # × (‖q‖² + max ‖d‖²), ≈ 2×·2⁻⁸
 
 
 def dispatch_plan(num_batches: int, dispatch_group: int) -> list[int]:
@@ -308,7 +326,7 @@ class BatchedEngine:
         ds: Dataset,
         db_tile: int | None = None,
         query_batch: int | None = None,
-        kprime: int = 128,
+        kprime: int | None = None,
         dtype=jnp.float32,
         precision: str = "high",
         topk_strategy: str = "topk",
@@ -322,6 +340,7 @@ class BatchedEngine:
         scan_layout: str = "axis1",
         repair_bins: int = 4,
         repair_gate: bool = False,
+        scan_store: str = "fp32",
     ):
         self.scan_impl = (
             _default_scan_impl() if scan_impl == "auto" else scan_impl
@@ -330,6 +349,10 @@ class BatchedEngine:
         # groups, sublane reduce — measured 25% faster, rounds ~1.2 ms
         # each) or "lane" (contiguous groups, lane reduce). Constructor-
         # only; see ops.pallas_scan.deferred_packed_scan_xla.
+        # the v3 kernel's epilogue IS the axis1 layout (sublane rounds,
+        # pos = tile·Dt + slice·bins + bin): repair/level-2 decode must match
+        if self.scan_impl == "pallas_v3":
+            scan_layout = "axis1"
         self.scan_layout = scan_layout
         # In-program bin-repair width (constructor-only, baked into the
         # traced program; 0 disables — see common.bin_repair_candidates)
@@ -345,29 +368,50 @@ class BatchedEngine:
         if db_tile is None:
             # 8192 rows/tile: XLA paths amortize per-step scan overhead; the
             # fused kernel gets out_w = 2·64 = 128 (Mosaic block constraint)
-            # with the cheapest sound bin depth.
-            db_tile = 8192
+            # with the cheapest sound bin depth. The v3 kernel reshapes the
+            # epilogue to (B, 128, Dt/128) and wants a full 128-lane minor
+            # axis, hence 16384.
+            db_tile = 16384 if self.scan_impl == "pallas_v3" else 8192
         self.db = device_db or DeviceDB.from_dataset(
-            ds, db_tile=db_tile, dtype=dtype
+            ds, db_tile=db_tile, dtype=dtype, scan_store=scan_store
         )
+        # A provided device_db decides the scan plane itself.
+        self._bf16_scan = self.db.V_scan is not None
         if query_batch is None:
             # Wide batches amortize both per-dispatch latency AND the scan's
             # per-tile structural cost (measured: per-tile ≈ 21 µs + 0.22 µs
             # per query ⇒ per-query cost keeps falling through B=1024).
             query_batch = 1024
         self.query_batch = query_batch
+        if kprime is None:
+            # bf16 scan plane: the certificate slack widens ~500× (see
+            # _CERT_REL_MM_BF16); a wider k' keeps the k'-cut boundary —
+            # the 128th-best selection score — clear of t + slack so the
+            # k'-cut term stays quiet on typical layouts.
+            kprime = 256 if self._bf16_scan else 128
         self.kprime = kprime
         self.precision = resolve_precision(precision)
+        # bf16 scan inputs take one true MXU pass; the precision knob only
+        # decomposes fp32 operands.
+        self._scan_precision = (
+            jax.lax.Precision.DEFAULT if self._bf16_scan else self.precision
+        )
         self.topk_strategy = topk_strategy
         # The certificate's error model assumes ≥3-pass matmul selection on
-        # fp32 storage; bf16 fast-mode is approximate by design (recall-gated
-        # rather than certified).
+        # fp32 storage — or the bf16 scan plane's own widened envelope
+        # (refinement stays fp32 either way). The bf16 fast-mode
+        # (dtype=bfloat16 PRIMARY storage) remains approximate by design
+        # (recall-gated rather than certified).
         self.certified = bool(
             certified
             and dtype == jnp.float32
-            and self.precision
-            in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+            and (
+                self._bf16_scan
+                or self.precision
+                in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+            )
         )
+        self._rel_mm = _CERT_REL_MM_BF16 if self._bf16_scan else _CERT_REL_MM
         # R entries kept per 128-lane bin. Certified mode picks R for a tiny
         # fallback RATE (correctness comes from the certificate); legacy mode
         # demands the Poisson loss bound outright and may return None
@@ -375,6 +419,12 @@ class BatchedEngine:
         # the choice (constructor-only: it is baked into jit cache keys).
         if bin_top is not None:
             self.bin_top = bin_top
+        elif self.scan_impl == "pallas_v3":
+            # v3's out_w = R·(Dt/128) is 128-aligned whenever Dt ≥ 16384,
+            # so the plain Poisson choice applies unrounded.
+            self.bin_top = choose_bin_top(
+                self.db.n_pad, kprime, certified=self.certified
+            )
         elif self.scan_impl in ("pallas", "pallas_v2"):
             self.bin_top = kernel_bin_top(
                 self.db.db_tile, self.db.n_pad, kprime,
@@ -386,7 +436,8 @@ class BatchedEngine:
             )
         if (
             self.scan_impl
-            in ("pallas", "pallas_v2", "xla_deferred", "xla_packed")
+            in ("pallas", "pallas_v2", "pallas_v3", "xla_deferred",
+                "xla_packed")
             and self.bin_top is None
         ):
             self.scan_impl = "xla"
@@ -439,7 +490,8 @@ class BatchedEngine:
     # --- jitted core -----------------------------------------------------
     def _search_batch(
         self,
-        Vp, Cf, Tf, dnf,        # flat database arrays (n_pad, ...)
+        Vp, Vs, Cf, Tf, dnf,    # flat database arrays (n_pad, ...); Vs =
+        #                         the scan plane (== Vp unless bf16 mode)
         Qblk,                   # (B, QPACK_W) packed query block
         sn, n,                  # traced scalars
         self_k: int,
@@ -469,7 +521,8 @@ class BatchedEngine:
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         Dt = self.db.db_tile
         nt = self.db.n_pad // Dt
-        if impl in ("pallas", "pallas_v2", "xla_deferred", "xla_packed"):
+        if impl in ("pallas", "pallas_v2", "pallas_v3", "xla_deferred",
+                    "xla_packed"):
             if impl == "pallas":
                 out_s, out_i = fused_packed_scan(
                     Vp, Cf, Tf, dnf, self._pos,
@@ -488,12 +541,22 @@ class BatchedEngine:
                     b_block=min(256, B),
                     interpret=self.interpret,
                 )
-            elif impl == "xla_packed":
-                out_s, out_i = deferred_packed_scan_xla(
-                    Vp, Cf, Tf, dnf, self._pos,
+            elif impl == "pallas_v3":
+                from hvq_tpu.ops.pallas_scan import fused_packed_scan_v3
+
+                out_s, out_i = fused_packed_scan_v3(
+                    Vs, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
                     db_tile=Dt, bin_top=bin_top,
-                    precision=self.precision,
+                    b_block=min(256, B),
+                    interpret=self.interpret,
+                )
+            elif impl == "xla_packed":
+                out_s, out_i = deferred_packed_scan_xla(
+                    Vs, Cf, Tf, dnf, self._pos,
+                    qV, active_c, vv, active_t, ll, rr, sn,
+                    db_tile=Dt, bin_top=bin_top,
+                    precision=self._scan_precision,
                     layout=self.scan_layout,
                 )
             else:
@@ -538,7 +601,11 @@ class BatchedEngine:
             # k'-cut boundary estimate BEFORE repair widens the candidates
             kcut_score = scores[:, kp - 1] if kp < W else None
             remaining_min = None
-            if self.certified and self.repair_bins and impl == "xla_packed":
+            if (
+                self.certified
+                and self.repair_bins
+                and impl in ("xla_packed", "pallas_v3")
+            ):
                 # in-program bin repair (common.bin_repair_candidates):
                 # rows are original-order here, so positions double as ids
                 # and self._pos is the sample-mask array the scan used.
@@ -547,7 +614,7 @@ class BatchedEngine:
                 thr_pre = (
                     common.repair_thr_pre(
                         scores, self_k, qV, self._dn_max,
-                        _CERT_REL_MM, _CERT_REL_T, _CERT_ABS,
+                        self._rel_mm, _CERT_REL_T, _CERT_ABS,
                     )
                     if self.repair_gate
                     else None
@@ -566,7 +633,7 @@ class BatchedEngine:
                 t = f_d[:, self_k - 1]
                 qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
                 slack = (
-                    _CERT_REL_MM * (qnorm + self._dn_max)
+                    self._rel_mm * (qnorm + self._dn_max)
                     + _CERT_REL_T * t
                     + _CERT_ABS
                 )
@@ -616,7 +683,7 @@ class BatchedEngine:
     def _unbundle(self, arr: np.ndarray, k: int):
         return unbundle_ids(arr, k, self._id_mode)
 
-    def _search_group(self, Vp, Cf, Tf, dnf, Qblk_g, sn, n,
+    def _search_group(self, Vp, Vs, Cf, Tf, dnf, Qblk_g, sn, n,
                       self_k: int, impl: str | None = None,
                       bin_top: int | None = None, level2: bool = True):
         """G query batches in ONE dispatch (amortizes host→device latency,
@@ -624,7 +691,8 @@ class BatchedEngine:
 
         def step(_, Qblk):
             return None, self._search_batch(
-                Vp, Cf, Tf, dnf, Qblk, sn, n, self_k, impl, bin_top, level2
+                Vp, Vs, Cf, Tf, dnf, Qblk, sn, n, self_k, impl, bin_top,
+                level2,
             )
 
         _, (bundle, dists) = jax.lax.scan(step, None, Qblk_g)
@@ -670,7 +738,10 @@ class BatchedEngine:
         dists_out = (
             np.empty((m_pad, k), dtype=np.float32) if return_dists else None
         )
-        db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
+        db_args = (
+            self.db.Vp, self.db.scan_V, self.db.C, self.db.T,
+            self.db.d_norms,
+        )
         # Enqueue every dispatch without fetching (device results are tiny);
         # host→device uploads of group i+1 then overlap compute of group i,
         # and the relay's per-call latency pipelines instead of serializing.
@@ -737,11 +808,14 @@ class BatchedEngine:
         """
         deeper = None
         if self.scan_impl in (
-            "pallas", "pallas_v2", "xla_packed", "xla_deferred"
+            "pallas", "pallas_v2", "pallas_v3", "xla_packed", "xla_deferred"
         ):
             d = min(2 * self.bin_top, BIN)
             deeper = d if d > self.bin_top else None
-        db_args = (self.db.Vp, self.db.C, self.db.T, self.db.d_norms)
+        db_args = (
+            self.db.Vp, self.db.scan_V, self.db.C, self.db.T,
+            self.db.d_norms,
+        )
 
         def run(sel, impl, bin_top):
             return self._search_jit(

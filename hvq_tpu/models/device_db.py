@@ -35,6 +35,13 @@ class DeviceDB:
     d_norms: jnp.ndarray   # (n_pad,) float32
     n: int                 # true row count
     db_tile: int
+    # Optional bf16 SCAN plane (``scan_store="bf16"``): the selection matmul
+    # reads this half-width copy (one true-bf16 MXU pass instead of the
+    # 3-pass fp32-faithful decomposition, half the database bytes) while
+    # refinement keeps gathering the exact fp32 ``Vp`` rows — the 0.002
+    # distance contract never sees the bf16 rounding. The certificate stays
+    # on with the wider ``_CERT_REL_MM_BF16`` slack (models.batched).
+    V_scan: Optional[jnp.ndarray] = None
 
     @property
     def n_pad(self) -> int:
@@ -44,6 +51,11 @@ class DeviceDB:
     def num_tiles(self) -> int:
         return self.n_pad // self.db_tile
 
+    @property
+    def scan_V(self) -> jnp.ndarray:
+        """The plane the selection scan reads (bf16 if present, else Vp)."""
+        return self.V_scan if self.V_scan is not None else self.Vp
+
     @classmethod
     def from_dataset(
         cls,
@@ -51,11 +63,15 @@ class DeviceDB:
         db_tile: int = 8192,
         dtype: jnp.dtype = jnp.float32,
         row_multiple: Optional[int] = None,
+        scan_store: str = "fp32",
     ) -> "DeviceDB":
         """Upload a host Dataset, lane-padding columns and tile-padding rows.
 
         ``row_multiple`` (default ``db_tile``) also serves the sharded engine,
         which needs rows divisible by ``num_devices * db_tile``.
+
+        ``scan_store="bf16"`` additionally keeps a rounded bf16 copy for the
+        selection scan (+50% HBM; requires ``dtype=float32``).
         """
         mult = row_multiple or db_tile
         n = ds.n
@@ -75,6 +91,16 @@ class DeviceDB:
         # low-precision storage this also automatically describes the
         # *stored* (rounded) vectors, as the expansion requires.
         d_norms = jnp.sum(Vp_dev.astype(jnp.float32) ** 2, axis=1)
+        V_scan = None
+        if scan_store == "bf16":
+            if dtype != jnp.float32:
+                raise ValueError(
+                    "scan_store='bf16' needs fp32 primary storage (the "
+                    "bf16 fast mode already scans its own storage)"
+                )
+            V_scan = Vp_dev.astype(jnp.bfloat16)   # device-side round
+        elif scan_store != "fp32":
+            raise ValueError(f"unknown scan_store {scan_store!r}")
         return cls(
             Vp=Vp_dev,
             C=jnp.asarray(C),
@@ -82,6 +108,7 @@ class DeviceDB:
             d_norms=d_norms,
             n=n,
             db_tile=db_tile,
+            V_scan=V_scan,
         )
 
     def tiles(self):

@@ -918,6 +918,218 @@ def fused_packed_scan_v2(
     return dist, pos
 
 
+def _make_packed_kernel_v3(bin_top: int, bf16_plane: bool):
+    """v3: the epilogue reduces over the SUBLANE axis (the axis1 layout
+    that measured 25% faster in XLA, experiments/scan_anatomy4/5.py) and
+    the matmul is a single true-bf16 pass when fed the bf16 scan plane.
+
+    v2's loss to XLA (54.8 vs 26.6 ms/batch) traced to the lane-axis
+    min rounds: cross-lane reduces shuffle through the VPU, while
+    sublane-group mins are plain strided vector ops. Here ``dist`` is
+    reshaped (Bb, Dt) → (Bb, S=128, bins=Dt/128): the minor (lane) axis is
+    the BIN index and the reduce runs over axis 1 — identical semantics to
+    ``deferred_packed_scan_xla(layout="axis1")``, payload = the slice
+    index s ∈ [0, 128), position = tile·Dt + s·bins + bin.
+    """
+
+    def _kernel(
+        sn_ref,                       # SMEM scalar-prefetch: scan limit
+        V_ref,                        # (Dt, 128) database tile (bf16|fp32)
+        C_ref, T_ref, dn_ref,         # (1, Dt) attribute / norm rows
+        oid_ref,                      # (1, Dt) int32 original ids (sn mask)
+        qhi_ref, qlo_ref,             # (Bb, 128) bf16 query planes
+        qn_ref,                       # (Bb, 1) query squared norms fp32
+        ac_ref, v_ref, at_ref, l_ref, r_ref,  # (Bb, 1) predicate fields
+        out_ref,                      # (Bb, bin_top * Dt/BIN) int32 keys
+    ):
+        Dt = V_ref.shape[0]
+        B = qhi_ref.shape[0]
+        bins = Dt // BIN              # lane count of the reshaped epilogue
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if bf16_plane:
+            # the scan plane is already rounded bf16: ONE MXU pass; the
+            # widened _CERT_REL_MM_BF16 slack covers the rounding
+            qd = mm(qhi_ref[:], V_ref[:])
+        else:
+            # fp32 storage: manual 3-pass bf16 (the Precision.HIGH
+            # algorithm; error ≈ 2⁻²¹ inside the fp32 slack model)
+            V = V_ref[:]
+            Vhi = V.astype(jnp.bfloat16)
+            Vlo = (V - Vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            qd = (
+                mm(qhi_ref[:], Vhi)
+                + mm(qhi_ref[:], Vlo)
+                + mm(qlo_ref[:], Vhi)
+            )
+        dist = jnp.maximum(dn_ref[0, :][None, :] - 2.0 * qd + qn_ref[:], 0.0)
+
+        # VPU: fused predicate mask (reference optimized.hpp:84-117)
+        ok = oid_ref[0, :][None, :] < sn_ref[0]
+        ok &= jnp.logical_or(ac_ref[:] == 0, C_ref[0, :][None, :] == v_ref[:])
+        ok &= jnp.logical_or(
+            at_ref[:] == 0,
+            jnp.logical_and(T_ref[0, :][None, :] >= l_ref[:],
+                            T_ref[0, :][None, :] <= r_ref[:]),
+        )
+        dist = jnp.where(ok, dist, jnp.inf)
+
+        # packed keys over the axis1 layout: bins on lanes, slices on
+        # sublanes — each round is one SUBLANE-group min, no cross-lane
+        # shuffles (the v2 postmortem's fix).
+        d3 = dist.reshape(B, BIN, bins)
+        slice_iota = jax.lax.broadcasted_iota(jnp.int32, (B, BIN, bins), 1)
+        packed = (
+            pltpu.bitcast(d3, jnp.int32) & jnp.int32(~0x7F)
+        ) | slice_iota
+        for rnd in range(bin_top):
+            m = jnp.min(packed, axis=1)              # (Bb, bins)
+            out_ref[:, rnd * bins : (rnd + 1) * bins] = m
+            if rnd + 1 < bin_top:
+                packed = jnp.where(
+                    slice_iota == (m & jnp.int32(0x7F))[:, None, :],
+                    jnp.int32(0x7F800000), packed,
+                )
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("db_tile", "bin_top", "b_block", "interpret"),
+)
+def fused_packed_scan_v3(
+    Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
+    db_tile: int = 16384,
+    bin_top: int = 2,
+    b_block: int = 256,
+    interpret: bool = False,
+):
+    """v3 fused kernel: sublane-axis bin rounds + optional bf16 scan plane.
+
+    Same output contract as ``deferred_packed_scan_xla(layout="axis1")``:
+    (dist (B, W) float32 [low bits zeroed, +inf = empty], pos (B, W) int32
+    row positions), W = nt · bin_top · db_tile/128. Pass a bf16 ``Vp``
+    (DeviceDB.V_scan) for the single-pass matmul; fp32 inputs run the
+    manual 3-pass bf16 decomposition like v2.
+
+    Requires ``db_tile`` ≥ 16384 (the reshaped epilogue wants ≥128 lanes)
+    and db_tile % 128 == 0.
+    """
+    n_pad, d = Vp.shape
+    if n_pad % db_tile:
+        raise ValueError(f"n_pad {n_pad} not divisible by db_tile {db_tile}")
+    if db_tile % BIN:
+        raise ValueError(f"db_tile {db_tile} not divisible by bin {BIN}")
+    bins = db_tile // BIN
+    if bins % 128 and not interpret:
+        raise ValueError(
+            f"v3 kernel wants db_tile/128 = {bins} lanes ≥ a full vreg; "
+            "use db_tile >= 16384"
+        )
+    B = qV.shape[0]
+    b_block = min(b_block, B)
+    if B % b_block:
+        raise ValueError(f"B {B} not divisible by b_block {b_block}")
+    nt = n_pad // db_tile
+    nb = B // b_block
+    out_w = bin_top * bins
+
+    bf16_plane = Vp.dtype == jnp.bfloat16
+    qf32 = qV.astype(jnp.float32)
+    qhi = qf32.astype(jnp.bfloat16)
+    qlo = (qf32 - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    qnorm = jnp.sum(qf32 * qf32, axis=1, keepdims=True)   # (B, 1)
+
+    vbytes = 2 if bf16_plane else 4
+    vmem_est = (
+        2 * b_block * db_tile * 4      # fp32 dist + packed int32 keys
+        + 2 * db_tile * (d * vbytes + 16)
+        + b_block * out_w * 4
+    )
+    if not interpret and vmem_est > 120 * 1024 * 1024:
+        raise ValueError(
+            f"fused_packed_scan_v3 b_block={b_block}, db_tile={db_tile} "
+            f"needs ~{vmem_est >> 20} MB VMEM; reduce b_block or db_tile"
+        )
+
+    tile_row = lambda i, b, *_: (i, 0)   # DB tile: marches over i
+    tile_col = lambda i, b, *_: (0, i)
+    qrow = lambda i, b, *_: (b, 0)       # query blocks: march over b
+    out_ix = lambda i, b, *_: (b, i)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt, nb),
+        in_specs=[
+            pl.BlockSpec((db_tile, d), tile_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), tile_col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), tile_col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), tile_col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), tile_col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, d), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, d), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, 1), qrow, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_block, out_w), out_ix, memory_space=pltpu.VMEM),
+        ],
+    )
+
+    (packed_out,) = pl.pallas_call(
+        _make_packed_kernel_v3(bin_top, bf16_plane),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, nt * out_w), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * d,
+            bytes_accessed=n_pad * d * vbytes + B * nt * out_w * 4,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(sn, jnp.int32).reshape(1),
+        Vp,
+        C.reshape(1, -1),
+        T.reshape(1, -1),
+        dn.reshape(1, -1),
+        oid.reshape(1, -1).astype(jnp.int32),
+        qhi,
+        qlo,
+        qnorm,
+        active_c.astype(jnp.int32).reshape(B, 1),
+        v.astype(jnp.float32).reshape(B, 1),
+        active_t.astype(jnp.int32).reshape(B, 1),
+        l.astype(jnp.float32).reshape(B, 1),
+        r.astype(jnp.float32).reshape(B, 1),
+    )
+
+    # unpack with the axis1 decode: pos = tile·Dt + slice·bins + bin
+    W = nt * out_w
+    colw = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    tile_idx = colw // out_w
+    bin_idx = colw % bins
+    payload = packed_out & jnp.int32(0x7F)
+    pos = tile_idx * db_tile + payload * bins + bin_idx
+    dist = jax.lax.bitcast_convert_type(
+        packed_out & jnp.int32(~0x7F), jnp.float32
+    )
+    return dist, pos
+
+
 def fused_bin_scan_reference(
     Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
     db_tile=2048, bin_top=2,

@@ -223,3 +223,77 @@ def test_packed_engine_matches_oracle():
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_fused_packed_kernel_v3_matches_xla_axis1():
+    """v3 (interpret) vs the XLA axis1 expression: same candidate sets and
+    positions; distances agree to the 3-pass-bf16 selection tolerance (the
+    kernel's manual hi/lo matmul vs XLA Precision.HIGHEST)."""
+    from hvq_tpu.ops.pallas_scan import (
+        deferred_packed_scan_xla,
+        fused_packed_scan_v3,
+    )
+
+    rng = np.random.default_rng(13)
+    n_pad, B, Dt = 4096, 8, 1024
+    Vp = rng.standard_normal((n_pad, 128)).astype(np.float32)
+    C = rng.integers(0, 4, n_pad).astype(np.float32)
+    T = rng.uniform(-3, 3, n_pad).astype(np.float32)
+    dn = (Vp * Vp).sum(1).astype(np.float32)
+    oid = np.arange(n_pad, dtype=np.int32)
+    qV = rng.standard_normal((B, 128)).astype(np.float32)
+    ac = rng.random(B) < 0.5
+    at = rng.random(B) < 0.5
+    v = rng.integers(0, 4, B).astype(np.float32)
+    l = rng.uniform(-3, 0, B).astype(np.float32)
+    r = rng.uniform(0, 3, B).astype(np.float32)
+    args = [jnp.asarray(x) for x in (Vp, C, T, dn, oid, qV, ac, v, at, l, r)]
+    sn = jnp.int32(4000)
+
+    s3, i3 = fused_packed_scan_v3(
+        *args, sn, db_tile=Dt, bin_top=2, interpret=True
+    )
+    s_x, i_x = deferred_packed_scan_xla(
+        *args, sn, db_tile=Dt, bin_top=2, layout="axis1"
+    )
+    assert s3.shape == s_x.shape
+    for b in range(B):
+        top3 = np.asarray(i3)[b][np.argsort(np.asarray(s3)[b])[:32]]
+        topx = np.asarray(i_x)[b][np.argsort(np.asarray(s_x)[b])[:32]]
+        assert set(top3.tolist()) == set(topx.tolist())
+    fin = np.isfinite(np.asarray(s_x))
+    np.testing.assert_allclose(
+        np.asarray(s3)[fin], np.asarray(s_x)[fin], rtol=3e-6, atol=2e-3
+    )
+
+
+def test_v3_engine_matches_oracle():
+    """Full pallas_v3 path (interpret) incl. in-program repair + certificate:
+    results oracle-exact, layout forced to axis1, db_tile defaults 16384."""
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(32768, seed=80, categories=20)
+    qs = generate_queries(16, seed=81, categories=20)
+    eng = BatchedEngine(ds, query_batch=16, scan_impl="pallas_v3")
+    assert eng.db.db_tile == 16384 and eng.scan_layout == "axis1"
+    assert eng.certified
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_v3_engine_bf16_plane_matches_oracle():
+    """pallas_v3 over the bf16 scan plane (single-pass matmul): certified,
+    oracle-exact via the widened slack + fp32 refinement."""
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(32768, seed=82, categories=20)
+    qs = generate_queries(16, seed=83, categories=20)
+    eng = BatchedEngine(ds, query_batch=16, scan_impl="pallas_v3",
+                        scan_store="bf16")
+    assert eng.certified and eng.kprime == 256
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0

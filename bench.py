@@ -151,7 +151,13 @@ class OracleThread(threading.Thread):
         from hvq_tpu.models.oracle import search_oracle
 
         qs = self.qs
-        for i in range(self.check_n):
+        # Resume from wherever a previous (aborted) run stopped: the
+        # synchronous enrichment pass re-calls run() on the same object,
+        # and restarting at 0 would DOUBLE-APPEND query 0 — misaligning
+        # every later oracle row against the engine's results (seen live:
+        # a correct first line, then an enriched line reporting recall
+        # 2/3 + dist "different" purely from the off-by-one).
+        for i in range(len(self.oids), self.check_n):
             if self.abort.is_set():
                 return
             sub = type(qs)(

@@ -10,6 +10,9 @@ Run: python experiments/bf16_v3_bench.py [n_rows] [B]
 
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np

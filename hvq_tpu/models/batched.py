@@ -341,6 +341,7 @@ class BatchedEngine:
         repair_bins: int = 4,
         repair_gate: bool = False,
         scan_store: str = "fp32",
+        v3_b_block: int = 256,
     ):
         self.scan_impl = (
             _default_scan_impl() if scan_impl == "auto" else scan_impl
@@ -354,6 +355,8 @@ class BatchedEngine:
         if self.scan_impl == "pallas_v3":
             scan_layout = "axis1"
         self.scan_layout = scan_layout
+        # v3 kernel query sub-block (VMEM working set knob)
+        self.v3_b_block = int(v3_b_block)
         # In-program bin-repair width (constructor-only, baked into the
         # traced program; 0 disables — see common.bin_repair_candidates)
         self.repair_bins = int(repair_bins)
@@ -548,7 +551,7 @@ class BatchedEngine:
                     Vs, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
                     db_tile=Dt, bin_top=bin_top,
-                    b_block=min(256, B),
+                    b_block=min(self.v3_b_block, B),
                     interpret=self.interpret,
                 )
             elif impl == "xla_packed":

@@ -68,6 +68,13 @@ class IVFEngine:
         n_clusters: int | None = None,
         seed: int = 0,
         index: IVFIndex | None = None,
+        # Byte budget for the FLAT union path: a carry-free scan emits every
+        # slab's (B, cap) score tile and ONE lax.top_k selects over the flat
+        # (B, W) stream — no per-tile merge (the 12×-the-matmul cost the
+        # streaming path pays, DESIGN.md §3), no bin reduce (unsound under
+        # clustering). Unions whose score stream exceeds the budget fall
+        # back to the streaming per-tile merge.
+        flat_budget_bytes: int = 512 * 1024 * 1024,
     ):
         self.index = index or IVFIndex.build(
             ds, cap=cap, n_clusters=n_clusters, iters=kmeans_iters, seed=seed
@@ -76,9 +83,13 @@ class IVFEngine:
         self.exact_frac = exact_frac
         self.query_batch = query_batch
         self.kprime = kprime
+        self.flat_budget_bytes = int(flat_budget_bytes)
         self.tail_V = jnp.asarray(common.tail_block_np(ds.V, t=kprime))
         self._rank_jit = jax.jit(self._rank_buckets, static_argnames=("p",))
         self._union_jit = jax.jit(self._union_scan, static_argnames=("k",))
+        self._union_flat_jit = jax.jit(
+            self._union_scan_flat, static_argnames=("k",)
+        )
         self._scan_jit = jax.jit(self._scan_batch, static_argnames=("k",))
 
     # --- jitted stages -----------------------------------------------------
@@ -126,6 +137,76 @@ class IVFEngine:
             tile_index=tile_index,
         )
         return common.finalize_view(scores, pos, Vp, oid, tail_V, qb, n, k)
+
+    def _union_scan_flat(
+        self,
+        Vp, C, T, dn, oid, tail_V,
+        tile_index,                  # (nt_sel,) bucket ids, -1 = padding
+        qV, qtype, v, l, r,
+        sn, n,
+        k: int,
+    ):
+        """Flat union path: carry-free slab scan + ONE top-k over (B, W).
+
+        The streaming merge pays a per-tile ``lax.top_k`` (the exact path's
+        measured 12×-the-matmul cost); bin reduces are unsound here because
+        clustering concentrates a query's whole top-k inside a couple of
+        probed buckets. Keeping EVERY score until a single flat ``top_k``
+        is both exact (no candidate ever dropped before selection) and
+        cheap while W = nt_sel·cap fits the byte budget — the low-batch /
+        low-latency regime IVF exists for. Masked (-1) slots surface as
+        +inf scores and lose to any real candidate.
+        """
+        from hvq_tpu.ops.distance import tile_scores
+
+        active_c, vv, active_t, ll, rr = mask_ops.query_predicate_fields(
+            qtype, v, l, r
+        )
+        qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
+        cap = self.index.cap
+        nt = Vp.shape[0] // cap
+        B = qV.shape[0]
+        Vt = Vp.reshape(nt, cap, Vp.shape[-1])
+        Ct = C.reshape(nt, cap)
+        Tt = T.reshape(nt, cap)
+        dnt = dn.reshape(nt, cap)
+        oidt = oid.reshape(nt, cap)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        ti = jnp.asarray(tile_index, jnp.int32)
+        qVf = qV.astype(jnp.float32)
+
+        def step(_, t):
+            safe = jnp.maximum(t, 0)
+            V_tile = jax.lax.dynamic_index_in_dim(Vt, safe, keepdims=False)
+            C_tile = jax.lax.dynamic_index_in_dim(Ct, safe, keepdims=False)
+            T_tile = jax.lax.dynamic_index_in_dim(Tt, safe, keepdims=False)
+            dn_tile = jax.lax.dynamic_index_in_dim(dnt, safe, keepdims=False)
+            oid_tile = jax.lax.dynamic_index_in_dim(
+                oidt, safe, keepdims=False
+            )
+            scores = tile_scores(
+                qVf, V_tile, dn_tile, jax.lax.Precision.HIGHEST
+            )
+            ok = mask_ops.block_mask(
+                C_tile, T_tile, oid_tile, sn,
+                qb.active_c, qb.v, qb.active_t, qb.l, qb.r,
+            )
+            ok &= jnp.broadcast_to((t >= 0)[None, None], (B, cap))
+            return None, jnp.where(ok, scores, jnp.inf)
+
+        _, s_stack = jax.lax.scan(step, None, ti)      # (nt_sel, B, cap)
+        nt_sel = ti.shape[0]
+        W = nt_sel * cap
+        s_flat = jnp.moveaxis(s_stack, 0, 1).reshape(B, W)
+        kp = min(self.kprime, W)
+        top_neg, flat_idx = jax.lax.top_k(-s_flat, kp)
+        pos = (
+            jnp.take(ti, flat_idx // cap) * cap + flat_idx % cap
+        ).astype(jnp.int32)
+        pos = jnp.maximum(pos, 0)                      # pad slots (score +inf)
+        return common.finalize_view(
+            -top_neg, pos, Vp, oid, tail_V, qb, n, k
+        )
 
     # --- jitted exact-scan fallback (full masked scan of the IVF view) ----
     def _scan_batch(
@@ -268,7 +349,15 @@ class IVFEngine:
         tile_index = np.full(size, -1, np.int32)
         tile_index[: union.size] = union
         qargs = self._query_args(batch_idx, qs)
-        return self._union_jit(
+        # flat path while the (B, W) score stream fits the byte budget —
+        # beyond it, the streaming per-tile merge caps device memory
+        stream_bytes = self.query_batch * size * idx.cap * 4
+        fn = (
+            self._union_flat_jit
+            if stream_bytes <= self.flat_budget_bytes
+            else self._union_jit
+        )
+        return fn(
             idx.Vp, idx.C, idx.T, idx.d_norms, idx.oid, self.tail_V,
             jnp.asarray(tile_index),
             *qargs, sn, n_t, k=k,

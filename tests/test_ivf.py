@@ -81,3 +81,30 @@ def test_ivf_sample_proportion(clustered):
     ids, dists = eng.search(qs, sample_proportion=0.7)
     rec = recall_at_k(ids, oids, dists, odists)
     assert rec >= 0.98, f"IVF sp recall {rec}"
+
+
+def test_ivf_flat_union_path(clustered):
+    """The flat union path (carry-free slab scan + one top-k) must match
+    the streaming-merge path's results and actually be selected for
+    small-batch unions."""
+    ds, qs = clustered
+    kw = dict(cap=256, nprobe=8, query_batch=16, kmeans_iters=6, seed=0)
+    eng_flat = IVFEngine(ds, **kw)                      # default budget: flat
+    eng_merge = IVFEngine(ds, flat_budget_bytes=0, **kw)  # forced streaming
+
+    calls = []
+    orig = eng_flat._union_flat_jit
+
+    def spy(*a, **k2):
+        calls.append(1)
+        return orig(*a, **k2)
+
+    eng_flat._union_flat_jit = spy
+    sub = type(qs)(qtype=qs.qtype[:16], v=qs.v[:16], l=qs.l[:16],
+                   r=qs.r[:16], V=qs.V[:16])
+    ids_f, d_f = eng_flat.search(sub)
+    ids_m, d_m = eng_merge.search(sub)
+    assert calls, "flat path should have been selected at B=16"
+    np.testing.assert_allclose(d_f, d_m, atol=2e-3)
+    oids, odists = search_oracle(ds, sub)
+    assert recall_at_k(ids_f, oids, d_f, odists) >= 0.99

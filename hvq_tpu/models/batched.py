@@ -308,12 +308,12 @@ def rerun_suspect_ladder(
 
 
 def _default_scan_impl() -> str:
-    # The packed deferred scan in pure XLA is the measured winner: the
-    # Mosaic kernels (v1 6-pass fp32; v2 manual 3-pass bf16 + B-subtiled)
-    # both lose to XLA's fusion of the same algorithm (DESIGN.md §3,
-    # round-2 measurements: v2 54.8 ms vs XLA 26.6 ms/batch at B=1024 on
-    # 10⁶ rows). They remain available as scan_impl="pallas"/"pallas_v2".
-    return "xla_packed" if jax.devices()[0].platform == "tpu" else "xla"
+    # pallas_v3 (sublane-axis bin rounds, score tile resident in VMEM) is
+    # the round-3 measured winner: 16946 vs xla_packed's 11157 QPS at
+    # D=10⁶/B=1024, bit-identical results (CHANGELOG r3). v1/v2's losses
+    # to XLA fusion traced to lane-axis reduces — fixed in v3; they remain
+    # available as scan_impl="pallas"/"pallas_v2" with their write-ups.
+    return "pallas_v3" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 class BatchedEngine:
@@ -375,6 +375,14 @@ class BatchedEngine:
             # epilogue to (B, 128, Dt/128) and wants a full 128-lane minor
             # axis, hence 16384.
             db_tile = 16384 if self.scan_impl == "pallas_v3" else 8192
+        elif (
+            self.scan_impl == "pallas_v3"
+            and scan_impl == "auto"
+            and (db_tile // BIN) % 128
+        ):
+            # auto picked v3 but the caller pinned a tile too small for the
+            # (B, 128, Dt/128) epilogue reshape — use the XLA twin instead
+            self.scan_impl = "xla_packed"
         self.db = device_db or DeviceDB.from_dataset(
             ds, db_tile=db_tile, dtype=dtype, scan_store=scan_store
         )

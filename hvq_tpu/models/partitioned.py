@@ -82,12 +82,13 @@ class PartitionedEngine:
     def __init__(
         self,
         ds: Dataset,
-        db_tile: int = 8192,
+        db_tile: int | None = None,
         query_batch: int = 1024,
         kprime: int = 128,
         dtype=jnp.float32,
         precision: str = "high",
         topk_strategy: str = "topk",
+        scan_impl: str = "auto",
         index: PartitionedIndex | None = None,
         # Measured policy (experiments/route_buckets.py, medium set): a
         # routed slice reads cap·512 B of HBM per QUERY, while the dense
@@ -118,6 +119,22 @@ class PartitionedEngine:
         time_view_min_queries: int = 4096,
         time_view_max_bytes: int = 4_000_000_000,
     ):
+        # Full-path scan implementation: the v3 fused kernel (sublane-axis
+        # bin rounds; measured +52% over xla_packed, CHANGELOG r3) on TPU,
+        # its XLA twin elsewhere. Windowed (wide-type-2) scans always use
+        # the XLA form — the v3 kernel has no dynamic row0 yet.
+        if scan_impl == "auto":
+            scan_impl = (
+                "pallas_v3"
+                if jax.devices()[0].platform == "tpu"
+                else "xla_packed"
+            )
+        if db_tile is None:
+            db_tile = 16384 if scan_impl == "pallas_v3" else 8192
+        elif scan_impl == "pallas_v3" and (db_tile // 128) % 128:
+            scan_impl = "xla_packed"      # tile too small for the v3 reshape
+        self.scan_impl = scan_impl
+        self._interpret = jax.devices()[0].platform != "tpu"
         self.index = index or PartitionedIndex.build(
             ds, db_tile=db_tile, dtype=dtype
         )
@@ -355,15 +372,28 @@ class PartitionedEngine:
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         # Packed-key deferred scan (the dense engine's default): the sn mask
         # tests ORIGINAL ids via oid_view; the returned payload is the VIEW
-        # POSITION so refinement gathers stay local to the view.
-        out_s, out_i = deferred_packed_scan_xla(
-            Vp_view, C_view, T_view, dn_view, oid_view,
-            qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
-            db_tile=db_tile, bin_top=bin_top,
-            precision=self.precision,
-            layout=self.scan_layout,
-            row0=row0, ntw=ntw,
-        )
+        # POSITION so refinement gathers stay local to the view. Full scans
+        # take the fused v3 kernel when selected; windowed scans (dynamic
+        # row0) always run the XLA twin.
+        if self.scan_impl == "pallas_v3" and row0 is None:
+            from hvq_tpu.ops.pallas_scan import fused_packed_scan_v3
+
+            out_s, out_i = fused_packed_scan_v3(
+                Vp_view, C_view, T_view, dn_view, oid_view,
+                qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
+                db_tile=db_tile, bin_top=bin_top,
+                b_block=min(256, qV.shape[0]),
+                interpret=self._interpret,
+            )
+        else:
+            out_s, out_i = deferred_packed_scan_xla(
+                Vp_view, C_view, T_view, dn_view, oid_view,
+                qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
+                db_tile=db_tile, bin_top=bin_top,
+                precision=self.precision,
+                layout=self.scan_layout,
+                row0=row0, ntw=ntw,
+            )
         W = out_s.shape[1]
         kp = min(self.kprime, W)
         nt_v = (

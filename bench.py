@@ -375,6 +375,12 @@ def attempt(engine_name: str) -> None:
         "baseline_qps": round(baseline, 2),
         "wall_s": round(wall, 3),
         "engine": engine_name,
+        # Which scan implementation actually ran (auto-resolution lands on
+        # the Mosaic pallas_v3 kernel on TPU) — the official artifact doubles
+        # as the per-round Mosaic health check (VERDICT r2 #8).
+        "scan_impl": getattr(
+            getattr(engine, "engine", engine), "scan_impl", None
+        ),
         "device": str(jax.devices()[0]),
         **extra,
     }

@@ -77,7 +77,13 @@ def _config():
 # --- dataset cache ---------------------------------------------------------
 
 def _cache_dir() -> str | None:
-    d = os.environ.get("HVQ_BENCH_CACHE", "/tmp/hvq_data_cache")
+    # /dev/shm, NOT /tmp: this image's disk reads at 36 MB/s, so a
+    # disk-backed mmap cache made every cold build slower than the 66 s
+    # regenerate it was meant to save (r3 postmortem: the permuted index
+    # gather against the cold mmap cost >20 min). tmpfs is RAM: mmap loads
+    # and gathers at memory speed and the cache still survives the
+    # supervisor's process restarts.
+    d = os.environ.get("HVQ_BENCH_CACHE", "/dev/shm/hvq_data_cache")
     return d or None
 
 

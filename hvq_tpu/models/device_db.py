@@ -85,7 +85,9 @@ class DeviceDB:
         C[:n] = ds.C
         T = np.zeros(n_pad, np.float32)
         T[:n] = ds.T
-        Vp_dev = jnp.asarray(Vp_host, dtype=dtype)
+        from hvq_tpu.utils.transfer import upload_rows
+
+        Vp_dev = upload_rows(Vp_host, dtype=dtype)
         # ‖d‖² on DEVICE from the uploaded block: skips the host einsum
         # over the 5 GB buffer and the extra 40 MB relay upload. For
         # low-precision storage this also automatically describes the

@@ -87,6 +87,21 @@ def _cache_dir() -> str | None:
     return d or None
 
 
+def _cache_key(n, q, cats, clusters, types) -> str:
+    return (
+        f"n{n}_q{q}_c{cats}_cl{clusters or 0}_"
+        f"t{''.join(map(str, types))}_s0s1_v1"
+    )
+
+
+def _oracle_cache_path(check_n: int) -> str | None:
+    root = _cache_dir()
+    if not root:
+        return None
+    key = _cache_key(*_config())
+    return os.path.join(root, key, f"oracle_c{check_n}.npz")
+
+
 def load_or_generate(n, q, cats, clusters, types):
     """Generate-or-load the bench dataset/queries (host-only, no jax).
 
@@ -101,10 +116,7 @@ def load_or_generate(n, q, cats, clusters, types):
     from hvq_tpu.utils.generators import generate_dataset, generate_queries
 
     root = _cache_dir()
-    key = (
-        f"n{n}_q{q}_c{cats}_cl{clusters or 0}_"
-        f"t{''.join(map(str, types))}_s0s1_v1"
-    )
+    key = _cache_key(n, q, cats, clusters, types)
     d = os.path.join(root, key) if root else None
     if d and os.path.exists(os.path.join(d, "ok")):
         arr = {
@@ -147,13 +159,28 @@ class OracleThread(threading.Thread):
     thread, abortable at query granularity (each query costs ~15-20 s at
     D=10^7) so the timed region never shares the single host core."""
 
-    def __init__(self, ds, qs, check_n: int):
+    def __init__(self, ds, qs, check_n: int, cache_path: str | None = None):
         super().__init__(daemon=True)
         self.ds, self.qs, self.check_n = ds, qs, check_n
         self.abort = threading.Event()
         self.oids, self.odists = [], []
+        # Disk-cached oracle rows (keyed by the dataset config): each
+        # query costs a full host-NumPy scan (~15 s nominal, minutes on a
+        # degraded host — the 9731-QPS artifact shipped without recall
+        # fields because not one of 5 finished in 27 min). Computed once,
+        # every later run gets its recall fields for free.
+        self.cache_path = cache_path
+        if cache_path and os.path.exists(cache_path):
+            import numpy as np
+
+            z = np.load(cache_path)
+            m = min(int(z["ids"].shape[0]), check_n)
+            self.oids = list(z["ids"][:m])
+            self.odists = list(z["dists"][:m])
 
     def run(self):
+        import numpy as np
+
         from hvq_tpu.models.oracle import search_oracle
 
         qs = self.qs
@@ -173,6 +200,13 @@ class OracleThread(threading.Thread):
             oid, od = search_oracle(self.ds, sub)
             self.oids.append(oid[0])
             self.odists.append(od[0])
+        if self.cache_path and len(self.oids) >= self.check_n:
+            tmp = self.cache_path + f".tmp{os.getpid()}"
+            np.savez(tmp, ids=np.stack(self.oids), dists=np.stack(self.odists))
+            try:
+                os.replace(tmp + ".npz", self.cache_path)
+            except OSError:
+                pass
 
 
 def _check_fields(ds, qs, ids, dists, oracle: OracleThread):
@@ -294,8 +328,8 @@ def attempt(engine_name: str) -> None:
 
     # Oracle spot-check overlaps warmup on a host thread (see OracleThread).
     check_n = int(os.environ.get("HVQ_BENCH_CHECK", 5))
-    oracle = OracleThread(ds, qs, check_n)
-    if check_n:
+    oracle = OracleThread(ds, qs, check_n, _oracle_cache_path(check_n))
+    if check_n and len(oracle.odists) < check_n:
         oracle.start()
 
     # The timed region produces ids only — the reference's vec_query
@@ -320,7 +354,9 @@ def attempt(engine_name: str) -> None:
 
     # Quiesce the host before the timed region: this box has ONE core, and
     # a concurrent oracle query inflates the host-side phases 30 %+.
-    if check_n:
+    # (``ident`` is None when the cache made starting the thread unnecessary
+    # — joining an unstarted thread raises.)
+    if check_n and oracle.ident is not None:
         with timer.phase("oracle_overlap_wait"):
             oracle.join(
                 timeout=float(os.environ.get("HVQ_BENCH_ORACLE_WAIT", 180))

@@ -60,32 +60,76 @@ class SortedView:
         return self.n_pad // self.db_tile
 
 
+def _debug_phase(tag: str, t0: float) -> float:
+    """HVQ_DEBUG_BUILD=1: stderr sub-phase timings for the index build."""
+    import os
+    import sys
+    import time
+
+    t1 = time.perf_counter()
+    if os.environ.get("HVQ_DEBUG_BUILD") == "1":
+        print(f"build[{tag}]: {t1 - t0:.1f}s", file=sys.stderr, flush=True)
+    return t1
+
+
 def _build_view(
     ds: Dataset,
     perm: np.ndarray,
     db_tile: int,
     dtype,
     row_multiple: int | None = None,
+    V_dev: jnp.ndarray | None = None,
 ) -> SortedView:
     """``row_multiple``: pad rows to this multiple instead of ``db_tile``
-    (mesh-sharded engines need every shard to hold whole tiles)."""
+    (mesh-sharded engines need every shard to hold whole tiles).
+
+    ``V_dev``: optional pre-uploaded raw ``(n, dim)`` fp32 vector block in
+    original row order, shared across views so the database crosses the
+    relay once.
+
+    The permutation gather, row/column padding, and norms all run ON
+    DEVICE: an HBM gather moves the 4 GB block in ~10 ms where the host
+    (one core, and on bad days a degraded one — r3 measured the host-side
+    gather+pad alone at many minutes) was the build-phase bottleneck. The
+    steps stay as separate dispatches so peak HBM is one extra block
+    (~9 GB at D=10⁷), not a fused graph's worst case.
+    """
+    import time
+
     n = ds.n
     rm = row_multiple or db_tile
     if rm % db_tile:
         raise ValueError("row_multiple must be a multiple of db_tile")
     n_pad = -(-n // rm) * rm
-    # ONE padded host buffer, filled in place (the earlier
-    # reorder→pad→copy chain made three ~5 GB host copies at D=10⁷);
-    # d_norms are computed ON DEVICE after the upload — one ~10 ms HBM
-    # pass instead of host gigaflops (VERDICT r1 weak #7).
-    Vfull = np.zeros((n_pad, _c.PADDED_DIM), np.float32)
-    # A disk-backed memmap source turns the permuted gather into random
-    # 400-byte disk reads (measured: >20 min cold at D=10⁷ on this image's
-    # 36 MB/s disk — the r3 build-time regression). Materialize sequentially
-    # first; a RAM-backed source (or /dev/shm mmap) passes through.
-    V_src = np.array(ds.V) if isinstance(ds.V, np.memmap) else ds.V
-    np.take(V_src, perm, axis=0, out=Vfull[:n, : ds.V.shape[1]])
-    del V_src
+    from hvq_tpu.utils.transfer import upload_rows
+
+    t0 = time.perf_counter()
+    own_V = V_dev is None
+    if own_V:
+        V_dev = upload_rows(np.asarray(ds.V, np.float32))
+        V_dev.block_until_ready()
+    t0 = _debug_phase("upload_raw", t0)
+    # Row pad via one appended zero row every pad index points at; column
+    # pad to the 128-lane width afterwards. d_norms in fp32 from the
+    # stored block (for low-precision storage: computed BEFORE the cast so
+    # they stay fp32-accurate).
+    idx = jnp.asarray(
+        np.concatenate(
+            [perm.astype(np.int32), np.full(n_pad - n, n, np.int32)]
+        )
+    )
+    V1 = jnp.pad(V_dev, ((0, 1), (0, 0)))
+    if own_V:
+        del V_dev
+    Vg = jnp.take(V1, idx, axis=0)
+    del V1
+    Vp = jnp.pad(Vg, ((0, 0), (0, _c.PADDED_DIM - ds.V.shape[1])))
+    del Vg
+    d_norms = jnp.sum(Vp * Vp, axis=1)
+    if dtype not in (None, jnp.float32):
+        Vp = Vp.astype(dtype)
+    Vp.block_until_ready()
+    t0 = _debug_phase("device_gather_pad", t0)
 
     def _pad(a, fill):
         out = np.full(n_pad, fill, dtype=a.dtype)
@@ -94,27 +138,13 @@ def _build_view(
 
     C_r = ds.C[perm]
     T_r = ds.T[perm]
-    from hvq_tpu.utils.transfer import upload_rows
-
-    if dtype in (None, jnp.float32):
-        Vp = upload_rows(Vfull)
-        d_norms = jnp.sum(Vp * Vp, axis=1)
-    else:
-        # low-precision storage: norms must stay fp32-accurate, so they
-        # are computed from the fp32 host buffer before the cast
-        d_norms_h = np.einsum("nd,nd->n", Vfull, Vfull).astype(np.float32)
-        Vp = upload_rows(Vfull, dtype=dtype)
-        d_norms = jnp.asarray(d_norms_h)
+    _debug_phase("host_keys", t0)
     return SortedView(
         Vp=Vp,
         C=jnp.asarray(_pad(C_r, np.float32(np.inf))),
         T=jnp.asarray(_pad(T_r, np.float32(np.inf))),
         d_norms=d_norms,
-        oid=jnp.asarray(
-            np.concatenate(
-                [perm.astype(np.int32), np.full(n_pad - n, n, np.int32)]
-            )
-        ),
+        oid=idx,                # original ids in view order; pad rows = n
         C_key=np.ascontiguousarray(C_r),
         T_key=np.ascontiguousarray(T_r),
         n=n,
@@ -157,7 +187,11 @@ class PartitionedIndex:
     @classmethod
     def build(cls, ds: Dataset, db_tile: int = 8192, dtype=jnp.float32,
               lazy_time: bool = True, row_multiple: int | None = None):
+        import time
+
+        _t0 = time.perf_counter()
         cat_perm = np.lexsort((ds.T, ds.C)).astype(np.int64)  # C major, T minor
+        _debug_phase("lexsort", _t0)
         out = cls(
             cat_view=_build_view(
                 ds, cat_perm, db_tile, dtype, row_multiple=row_multiple

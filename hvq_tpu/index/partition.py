@@ -118,13 +118,29 @@ def _build_view(
             [perm.astype(np.int32), np.full(n_pad - n, n, np.int32)]
         )
     )
-    V1 = jnp.pad(V_dev, ((0, 1), (0, 0)))
+    # Chunked fill-mode gather, synced per chunk: TPU tiling pads the last
+    # dim to 128 lanes, so every (·, 100) fp32 buffer physically occupies
+    # the full 5.1 GB at D=10⁷ — a staged pad→take→pad chain keeps 3-4 of
+    # them alive (allocator frees lag the Python `del`s) and
+    # RESOURCE_EXHAUSTs the 16 GB chip (seen live, twice). Fill-mode take
+    # needs no row-pad copy (out-of-range pad indices produce the zero
+    # rows directly) and the per-chunk sync bounds the peak at source +
+    # output ≈ 10.2 GB.
+    pad_cols = _c.PADDED_DIM - ds.V.shape[1]
+    bounds = np.linspace(0, n_pad, 9).astype(np.int64)
+    outs = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        g = jnp.take(
+            V_dev, idx[int(s):int(e)], axis=0, mode="fill", fill_value=0.0
+        )
+        g = jnp.pad(g, ((0, 0), (0, pad_cols)))
+        g.block_until_ready()
+        outs.append(g)
     if own_V:
         del V_dev
-    Vg = jnp.take(V1, idx, axis=0)
-    del V1
-    Vp = jnp.pad(Vg, ((0, 0), (0, _c.PADDED_DIM - ds.V.shape[1])))
-    del Vg
+    Vp = jnp.concatenate(outs, axis=0)
+    Vp.block_until_ready()
+    del outs
     d_norms = jnp.sum(Vp * Vp, axis=1)
     if dtype not in (None, jnp.float32):
         Vp = Vp.astype(dtype)

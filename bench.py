@@ -94,12 +94,12 @@ def _cache_key(n, q, cats, clusters, types) -> str:
     )
 
 
-def _oracle_cache_path(check_n: int) -> str | None:
+def _oracle_cache_path() -> str | None:
     root = _cache_dir()
     if not root:
         return None
     key = _cache_key(*_config())
-    return os.path.join(root, key, f"oracle_c{check_n}.npz")
+    return os.path.join(root, key, "oracle.npz")
 
 
 def load_or_generate(n, q, cats, clusters, types):
@@ -192,7 +192,7 @@ class OracleThread(threading.Thread):
         # 2/3 + dist "different" purely from the off-by-one).
         for i in range(len(self.oids), self.check_n):
             if self.abort.is_set():
-                return
+                break       # fall through: partial progress still caches
             sub = type(qs)(
                 qtype=qs.qtype[i : i + 1], v=qs.v[i : i + 1],
                 l=qs.l[i : i + 1], r=qs.r[i : i + 1], V=qs.V[i : i + 1],
@@ -200,7 +200,7 @@ class OracleThread(threading.Thread):
             oid, od = search_oracle(self.ds, sub)
             self.oids.append(oid[0])
             self.odists.append(od[0])
-        if self.cache_path and len(self.oids) >= self.check_n:
+        if self.cache_path and self.oids:
             tmp = self.cache_path + f".tmp{os.getpid()}"
             np.savez(tmp, ids=np.stack(self.oids), dists=np.stack(self.odists))
             try:
@@ -328,8 +328,9 @@ def attempt(engine_name: str) -> None:
 
     # Oracle spot-check overlaps warmup on a host thread (see OracleThread).
     check_n = int(os.environ.get("HVQ_BENCH_CHECK", 5))
-    oracle = OracleThread(ds, qs, check_n, _oracle_cache_path(check_n))
-    if check_n and len(oracle.odists) < check_n:
+    oracle = OracleThread(ds, qs, check_n, _oracle_cache_path())
+    cached_rows = len(oracle.odists)
+    if check_n and cached_rows < check_n:
         oracle.start()
 
     # The timed region produces ids only — the reference's vec_query
@@ -358,8 +359,14 @@ def attempt(engine_name: str) -> None:
     # — joining an unstarted thread raises.)
     if check_n and oracle.ident is not None:
         with timer.phase("oracle_overlap_wait"):
+            # With ≥2 rows already cached the official line has its recall
+            # fields either way — don't spend minutes of the attempt budget
+            # idling for the tail rows (they'll land in the cache next run).
+            default_wait = 180 if cached_rows < 2 else 30
             oracle.join(
-                timeout=float(os.environ.get("HVQ_BENCH_ORACLE_WAIT", 180))
+                timeout=float(
+                    os.environ.get("HVQ_BENCH_ORACLE_WAIT", default_wait)
+                )
             )
             if oracle.is_alive():
                 oracle.abort.set()

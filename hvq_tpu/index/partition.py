@@ -208,9 +208,21 @@ class PartitionedIndex:
         _t0 = time.perf_counter()
         cat_perm = np.lexsort((ds.T, ds.C)).astype(np.int64)  # C major, T minor
         _debug_phase("lexsort", _t0)
+        # Eager double-view builds share ONE raw upload (the database
+        # crosses the ~40-60 MB/s relay once); the lazy path deliberately
+        # does NOT retain the raw block — it would idle a full database
+        # copy in HBM next to both views for a path most workloads never
+        # take (ADVICE r3: the parameter previously had no call site).
+        V_dev = None
+        if not lazy_time:
+            from hvq_tpu.utils.transfer import upload_rows
+
+            V_dev = upload_rows(np.asarray(ds.V, np.float32))
+            V_dev.block_until_ready()
         out = cls(
             cat_view=_build_view(
-                ds, cat_perm, db_tile, dtype, row_multiple=row_multiple
+                ds, cat_perm, db_tile, dtype, row_multiple=row_multiple,
+                V_dev=V_dev,
             ),
             T_sorted=np.sort(ds.T).astype(np.float32),
             _ds=ds,
@@ -219,7 +231,12 @@ class PartitionedIndex:
             _row_multiple=row_multiple,
         )
         if not lazy_time:
-            _ = out.time_view
+            time_perm = np.argsort(ds.T, kind="stable").astype(np.int64)
+            out._time_view = _build_view(
+                ds, time_perm, db_tile, dtype, row_multiple=row_multiple,
+                V_dev=V_dev,
+            )
+            del V_dev
         return out
 
     # ---- host-side range resolution (binary search on sort keys) --------

@@ -96,6 +96,7 @@ from hvq_tpu.ops.pallas_scan import (
     fused_packed_scan,
     kernel_bin_top,
     last_round_dists,
+    v3_query_block,
 )
 from hvq_tpu.utils.formats import Dataset, QuerySet
 
@@ -559,7 +560,7 @@ class BatchedEngine:
                     Vs, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
                     db_tile=Dt, bin_top=bin_top,
-                    b_block=min(self.v3_b_block, B),
+                    b_block=v3_query_block(B, self.v3_b_block),
                     interpret=self.interpret,
                 )
             elif impl == "xla_packed":

@@ -138,6 +138,17 @@ class PartitionedEngine:
         self.index = index or PartitionedIndex.build(
             ds, db_tile=db_tile, dtype=dtype
         )
+        if self.scan_impl == "pallas_v3":
+            if (self.index.cat_view.db_tile // 128) % 128:
+                # the ACTUAL scan tiles come from the index — a prebuilt
+                # index with small tiles would hit the v3 kernel's
+                # ValueError at the first full-path search (ADVICE r3)
+                self.scan_impl = "xla_packed"
+            else:
+                # the v3 kernel always emits the axis1 layout (sublane
+                # rounds, pos = tile·Dt + slice·bins + bin): level-2 and
+                # repair decoding must match it (ADVICE r3, medium)
+                scan_layout = "axis1"
         self.tail_V = jnp.asarray(common.tail_block_np(ds.V, t=kprime))
         self.query_batch = query_batch
         self.kprime = kprime
@@ -376,13 +387,16 @@ class PartitionedEngine:
         # take the fused v3 kernel when selected; windowed scans (dynamic
         # row0) always run the XLA twin.
         if self.scan_impl == "pallas_v3" and row0 is None:
-            from hvq_tpu.ops.pallas_scan import fused_packed_scan_v3
+            from hvq_tpu.ops.pallas_scan import (
+                fused_packed_scan_v3,
+                v3_query_block,
+            )
 
             out_s, out_i = fused_packed_scan_v3(
                 Vp_view, C_view, T_view, dn_view, oid_view,
                 qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
                 db_tile=db_tile, bin_top=bin_top,
-                b_block=min(256, qV.shape[0]),
+                b_block=v3_query_block(qV.shape[0], 256),
                 interpret=self._interpret,
             )
         else:

@@ -534,6 +534,20 @@ def last_round_dists(out_s, nt: int, bin_top: int, bins: int):
     return out_s.reshape(B, nt, bin_top, bins)[:, :, -1, :].reshape(B, -1)
 
 
+def v3_query_block(B: int, cap: int) -> int:
+    """Largest divisor of ``B`` that is ≤ ``cap``.
+
+    The v3 kernel's query sub-block must tile the batch exactly
+    (``B % b_block == 0``); ``min(cap, B)`` only guarantees that for
+    power-of-two batches — a user-set query_batch like 384 would raise at
+    the first search (ADVICE r3). Worst case this walks O(B) candidates,
+    and B is at most a few thousand."""
+    bb = min(cap, B)
+    while B % bb:
+        bb -= 1
+    return bb
+
+
 def kernel_bin_top(
     db_tile: int, n_pad: int, kprime: int = 128, certified: bool = False
 ) -> int | None:

@@ -156,8 +156,12 @@ def load_or_generate(n, q, cats, clusters, types):
 
 class OracleThread(threading.Thread):
     """Computes oracle results for the first ``check_n`` queries on a host
-    thread, abortable at query granularity (each query costs ~15-20 s at
-    D=10^7) so the timed region never shares the single host core."""
+    thread, abortable at block granularity so the timed region never shares
+    the single host core. Blocks of 8 queries run through the vectorized
+    float64 oracle (models.oracle.search_oracle_batched — one BLAS matmul
+    per database chunk), which made the r3 default of 5 checks affordable
+    at 64 (VERDICT r3 #5b: the 9214-QPS artifact shipped with
+    ``checked_queries: 3``)."""
 
     def __init__(self, ds, qs, check_n: int, cache_path: str | None = None):
         super().__init__(daemon=True)
@@ -181,25 +185,28 @@ class OracleThread(threading.Thread):
     def run(self):
         import numpy as np
 
-        from hvq_tpu.models.oracle import search_oracle
+        from hvq_tpu.models.oracle import search_oracle_batched
 
         qs = self.qs
+        QB = 8
         # Resume from wherever a previous (aborted) run stopped: the
         # synchronous enrichment pass re-calls run() on the same object,
         # and restarting at 0 would DOUBLE-APPEND query 0 — misaligning
         # every later oracle row against the engine's results (seen live:
         # a correct first line, then an enriched line reporting recall
         # 2/3 + dist "different" purely from the off-by-one).
-        for i in range(len(self.oids), self.check_n):
+        while len(self.oids) < self.check_n:
             if self.abort.is_set():
                 break       # fall through: partial progress still caches
+            i = len(self.oids)
+            j = min(i + QB, self.check_n)
             sub = type(qs)(
-                qtype=qs.qtype[i : i + 1], v=qs.v[i : i + 1],
-                l=qs.l[i : i + 1], r=qs.r[i : i + 1], V=qs.V[i : i + 1],
+                qtype=qs.qtype[i:j], v=qs.v[i:j],
+                l=qs.l[i:j], r=qs.r[i:j], V=qs.V[i:j],
             )
-            oid, od = search_oracle(self.ds, sub)
-            self.oids.append(oid[0])
-            self.odists.append(od[0])
+            oid, od = search_oracle_batched(self.ds, sub, qblock=QB)
+            self.oids.extend(oid)
+            self.odists.extend(od)
         if self.cache_path and self.oids:
             tmp = self.cache_path + f".tmp{os.getpid()}"
             np.savez(tmp, ids=np.stack(self.oids), dists=np.stack(self.odists))
@@ -317,6 +324,13 @@ def attempt(engine_name: str) -> None:
         engine_kwargs["dtype"] = jnp.bfloat16
         engine_kwargs.setdefault("precision", "default")
     _init_t.join()                      # device ready; build = upload only
+    if _cache_dir():
+        # host sort products persist next to the dataset cache — a cold
+        # partitioned build pays upload + device gather only (VERDICT r3 #5a)
+        os.environ.setdefault(
+            "HVQ_PERM_CACHE",
+            os.path.join(_cache_dir(), _cache_key(*_config()), "perm.npz"),
+        )
     with timer.phase("build"):
         engine = get_engine(engine_name)(ds, **engine_kwargs)
     if os.environ.get("HVQ_BENCH_RESILIENT", "1") != "0":
@@ -327,7 +341,7 @@ def attempt(engine_name: str) -> None:
         engine = ResilientEngine(engine)
 
     # Oracle spot-check overlaps warmup on a host thread (see OracleThread).
-    check_n = int(os.environ.get("HVQ_BENCH_CHECK", 5))
+    check_n = int(os.environ.get("HVQ_BENCH_CHECK", 64))
     oracle = OracleThread(ds, qs, check_n, _oracle_cache_path())
     cached_rows = len(oracle.odists)
     if check_n and cached_rows < check_n:
@@ -377,17 +391,33 @@ def attempt(engine_name: str) -> None:
     # PhaseTimer records the in-search pack/enqueue/fetch/rerun split.
     from hvq_tpu.native import PerfCounters
 
-    search_timer = PhaseTimer()
-    if "phases" in inspect.signature(base_search).parameters:
-        search_kw["phases"] = search_timer
+    # Median of N timed searches: run-to-run relay variance is ±10-15%
+    # (2× on degraded-host days) and a single sample let the best run
+    # masquerade as "the" number (VERDICT r3 #5c). Each run gets its own
+    # phase timer; the reported split belongs to the median run.
+    n_runs = max(1, int(os.environ.get("HVQ_BENCH_RUNS", 3)))
+    has_phases = "phases" in inspect.signature(base_search).parameters
+    run_walls, run_timers = [], []
     with timer.phase("search"):
-        t0 = time.perf_counter()
         with PerfCounters() as pc:
-            ids, dists = engine.search(qs, **search_kw)
-        wall = time.perf_counter() - t0
+            for _ in range(n_runs):
+                st = PhaseTimer()
+                kw = dict(search_kw)
+                if has_phases:
+                    kw["phases"] = st
+                t0 = time.perf_counter()
+                ids, dists = engine.search(qs, **kw)
+                run_walls.append(time.perf_counter() - t0)
+                run_timers.append(st)
+    med = int(np.argsort(run_walls)[len(run_walls) // 2])
+    wall = run_walls[med]
+    search_timer = run_timers[med]
 
     qps = q / wall
     extra = {}
+    if n_runs > 1:
+        extra["timed_runs"] = n_runs
+        extra["run_qps"] = [round(q / w, 2) for w in run_walls]
     if search_timer.totals:
         extra["search_phases_ms"] = {
             name.removeprefix("search/"): round(t * 1e3, 1)
@@ -400,8 +430,9 @@ def attempt(engine_name: str) -> None:
         }
         for name in ("cycles", "instructions", "LLC_misses"):
             if name in rep:
+                # the counter block brackets all n_runs timed searches
                 extra["host_counters"][f"{name}_per_query"] = round(
-                    rep[name] / max(q, 1), 1
+                    rep[name] / max(q * n_runs, 1), 1
                 )
     # Certificate forensics (HVQ_CERT_TERMS=1): histogram of per-query term
     # bitmasks (1 = bin saturation, 2 = level-2, 4 = k'-cut) from the timed

@@ -203,10 +203,32 @@ class PartitionedIndex:
     @classmethod
     def build(cls, ds: Dataset, db_tile: int = 8192, dtype=jnp.float32,
               lazy_time: bool = True, row_multiple: int | None = None):
+        import os
         import time
 
         _t0 = time.perf_counter()
-        cat_perm = np.lexsort((ds.T, ds.C)).astype(np.int64)  # C major, T minor
+        # HVQ_PERM_CACHE=<path.npz>: persist the host sort products (the
+        # only non-upload build cost since the r3 on-device rework — the
+        # 10⁷-row lexsort costs tens of seconds on a degraded host). The
+        # bench keys this next to its dataset cache; the device arrays
+        # must re-upload regardless (HBM doesn't survive the process).
+        pc = os.environ.get("HVQ_PERM_CACHE")
+        cat_perm = T_sorted = None
+        if pc and os.path.exists(pc):
+            z = np.load(pc, mmap_mode="r")
+            if int(z["n"]) == ds.n:
+                cat_perm = np.asarray(z["cat_perm"])
+                T_sorted = np.asarray(z["T_sorted"])
+        if cat_perm is None:
+            cat_perm = np.lexsort((ds.T, ds.C)).astype(np.int64)  # C maj, T min
+            T_sorted = np.sort(ds.T).astype(np.float32)
+            if pc:
+                tmp = f"{pc}.tmp{os.getpid()}"
+                np.savez(tmp, n=ds.n, cat_perm=cat_perm, T_sorted=T_sorted)
+                try:
+                    os.replace(tmp + ".npz", pc)
+                except OSError:
+                    pass
         _debug_phase("lexsort", _t0)
         # Eager double-view builds share ONE raw upload (the database
         # crosses the ~40-60 MB/s relay once); the lazy path deliberately
@@ -224,7 +246,7 @@ class PartitionedIndex:
                 ds, cat_perm, db_tile, dtype, row_multiple=row_multiple,
                 V_dev=V_dev,
             ),
-            T_sorted=np.sort(ds.T).astype(np.float32),
+            T_sorted=T_sorted,
             _ds=ds,
             _db_tile=db_tile,
             _dtype=dtype,

@@ -80,6 +80,92 @@ def search_oracle(
     return ids_out, dists_out
 
 
+def search_oracle_batched(
+    ds: Dataset,
+    qs: QuerySet,
+    k: int = _c.K_DEFAULT,
+    sample_proportion: float = 1.0,
+    qblock: int = 16,
+    dchunk: int = 1 << 19,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized oracle — identical semantics to :func:`search_oracle`.
+
+    ``qblock`` queries share one float64 BLAS matmul per database chunk
+    (‖q‖² − 2·Q·Dᵀ + ‖d‖² expansion), which is 10-100× the scalar oracle's
+    throughput on one host core — the bench's 64-query spot check becomes
+    affordable where one query-at-a-time scan cost ~15-20 s (VERDICT r3
+    #5b). Selection uses the expanded distances (float64 reassociation
+    error ≲1e-12, irrelevant under the 0.002 tie credit); the RETURNED
+    distances are recomputed per selected row with the scalar oracle's
+    direct Σ(q−d)² float64 formula, so the two oracles agree bit-for-bit
+    up to tie order.
+    """
+    n = ds.n
+    if n < k:
+        raise ValueError(f"dataset has {n} < k={k} records")
+    sn = int(sample_proportion * n)
+    ids_out = np.empty((qs.m, k), dtype=np.uint32)
+    dists_out = np.empty((qs.m, k), dtype=np.float32)
+    row_ids = np.arange(n, dtype=np.int64)
+
+    for q0 in range(0, qs.m, qblock):
+        q1 = min(q0 + qblock, qs.m)
+        b = q1 - q0
+        Q = qs.V[q0:q1].astype(np.float64)
+        qn = np.einsum("bd,bd->b", Q, Q)
+        qt = np.asarray(qs.qtype[q0:q1])
+        vv = np.asarray(qs.v[q0:q1], np.float32)
+        ll = np.asarray(qs.l[q0:q1], np.float32)
+        rr = np.asarray(qs.r[q0:q1], np.float32)
+        has_c = (qt == 1) | (qt == 3)
+        has_t = (qt == 2) | (qt == 3)
+        best_d = np.full((b, k), np.inf)
+        best_i = np.zeros((b, k), np.int64)
+        for s in range(0, sn, dchunk):
+            e = min(s + dchunk, sn)
+            D = ds.V[s:e].astype(np.float64)
+            d2 = (
+                qn[:, None]
+                - 2.0 * (Q @ D.T)
+                + np.einsum("nd,nd->n", D, D)[None, :]
+            )
+            np.maximum(d2, 0.0, out=d2)
+            if has_c.any():
+                Cc = np.asarray(ds.C[s:e], np.float32)
+                d2[has_c] = np.where(
+                    Cc[None, :] == vv[has_c, None], d2[has_c], np.inf
+                )
+            if has_t.any():
+                Tc = np.asarray(ds.T[s:e], np.float32)
+                d2[has_t] = np.where(
+                    (Tc[None, :] >= ll[has_t, None])
+                    & (Tc[None, :] <= rr[has_t, None]),
+                    d2[has_t],
+                    np.inf,
+                )
+            cat_d = np.concatenate([best_d, d2], axis=1)
+            cat_i = np.concatenate(
+                [best_i, np.broadcast_to(row_ids[s:e], (b, e - s))], axis=1
+            )
+            sel = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
+            best_d = np.take_along_axis(cat_d, sel, axis=1)
+            best_i = np.take_along_axis(cat_i, sel, axis=1)
+        for j in range(b):
+            finite = np.isfinite(best_d[j])
+            cand = best_i[j][finite]
+            if cand.size < k:
+                pad = np.arange(
+                    n - 1, n - 1 - (k - cand.size), -1, dtype=np.int64
+                )
+                cand = np.concatenate([cand, pad])
+            diff = ds.V[cand].astype(np.float64) - Q[j]
+            d = np.einsum("jd,jd->j", diff, diff)
+            order = np.argsort(d, kind="stable")[:k]
+            ids_out[q0 + j] = cand[order].astype(np.uint32)
+            dists_out[q0 + j] = d[order].astype(np.float32)
+    return ids_out, dists_out
+
+
 class OracleEngine:
     """Engine-protocol wrapper around :func:`search_oracle`."""
 

@@ -72,3 +72,34 @@ def test_sample_proportion():
     ids2, _ = search_oracle(tiny_ds(), q(1, v=1.0), k=2, sample_proportion=0.5)
     # sn=3 ⇒ only candidate is id 1; pad with id 5 → order by dist: 1, 5
     np.testing.assert_array_equal(ids2[0], [1, 5])
+
+
+# --- batched oracle ≡ scalar oracle ------------------------------------------
+
+def test_batched_oracle_matches_scalar():
+    from hvq_tpu.models.oracle import search_oracle_batched
+    from hvq_tpu.utils.generators import generate_dataset, generate_queries
+    from hvq_tpu.utils.compare import compare_distances, recall_at_k
+
+    ds = generate_dataset(3000, seed=3, categories=25)
+    qs = generate_queries(50, seed=4, categories=25)
+    a_ids, a_d = search_oracle(ds, qs)
+    b_ids, b_d = search_oracle_batched(ds, qs, qblock=7, dchunk=1 << 10)
+    res = compare_distances(a_d, b_d)
+    assert res.status == "same", res          # direct-formula recompute
+    assert recall_at_k(b_ids, a_ids, b_d, a_d) == 1.0
+
+
+def test_batched_oracle_sample_and_padding():
+    from hvq_tpu.models.oracle import search_oracle_batched
+    from hvq_tpu.utils.generators import generate_dataset, generate_queries
+    from hvq_tpu.utils.compare import compare_distances
+
+    ds = generate_dataset(1500, seed=9, categories=500)   # ~3 rows/category
+    qs = generate_queries(16, seed=10, categories=500, types=(1, 3))
+    for sp in (1.0, 0.37, 0.0):
+        a_ids, a_d = search_oracle(ds, qs, sample_proportion=sp)
+        b_ids, b_d = search_oracle_batched(
+            ds, qs, sample_proportion=sp, qblock=5, dchunk=256
+        )
+        assert compare_distances(a_d, b_d).status == "same", sp

@@ -131,7 +131,11 @@ class PartitionedEngine:
             )
         if db_tile is None:
             db_tile = 16384 if scan_impl == "pallas_v3" else 8192
-        elif scan_impl == "pallas_v3" and (db_tile // 128) % 128:
+        elif (
+            scan_impl == "pallas_v3"
+            and (db_tile // 128) % 128
+            and jax.devices()[0].platform == "tpu"
+        ):
             scan_impl = "xla_packed"      # tile too small for the v3 reshape
         self.scan_impl = scan_impl
         self._interpret = jax.devices()[0].platform != "tpu"
@@ -139,7 +143,7 @@ class PartitionedEngine:
             ds, db_tile=db_tile, dtype=dtype
         )
         if self.scan_impl == "pallas_v3":
-            if (self.index.cat_view.db_tile // 128) % 128:
+            if (self.index.cat_view.db_tile // 128) % 128 and not self._interpret:
                 # the ACTUAL scan tiles come from the index — a prebuilt
                 # index with small tiles would hit the v3 kernel's
                 # ValueError at the first full-path search (ADVICE r3)
@@ -383,10 +387,11 @@ class PartitionedEngine:
         qb = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
         # Packed-key deferred scan (the dense engine's default): the sn mask
         # tests ORIGINAL ids via oid_view; the returned payload is the VIEW
-        # POSITION so refinement gathers stay local to the view. Full scans
-        # take the fused v3 kernel when selected; windowed scans (dynamic
-        # row0) always run the XLA twin.
-        if self.scan_impl == "pallas_v3" and row0 is None:
+        # POSITION so refinement gathers stay local to the view. Both full
+        # AND windowed (dynamic row0) scans take the fused v3 kernel when
+        # selected — the window offset rides the kernel's scalar-prefetch
+        # index maps (VERDICT r3 #3).
+        if self.scan_impl == "pallas_v3":
             from hvq_tpu.ops.pallas_scan import (
                 fused_packed_scan_v3,
                 v3_query_block,
@@ -398,6 +403,7 @@ class PartitionedEngine:
                 db_tile=db_tile, bin_top=bin_top,
                 b_block=v3_query_block(qV.shape[0], 256),
                 interpret=self._interpret,
+                row0=row0, ntw=ntw,
             )
         else:
             out_s, out_i = deferred_packed_scan_xla(

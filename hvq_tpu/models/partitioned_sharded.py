@@ -73,7 +73,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
         self,
         ds: Dataset,
         mesh=None,
-        db_tile: int = 8192,
+        db_tile: int | None = None,
         kprime: int = 128,
         dtype=jnp.float32,
         bin_top: int | None = None,
@@ -86,6 +86,17 @@ class ShardedPartitionedEngine(PartitionedEngine):
                 "devices on the 'd' axis (query parallelism is query_batch)"
             )
         self.n_d = self.mesh.shape["d"]
+        # Resolve the tile size BEFORE the index build (the parent would,
+        # but this subclass builds the index itself for row_multiple): the
+        # v3 kernel — now the per-shard dense scan on TPU — wants 16384.
+        if db_tile is None:
+            _si = kw.get("scan_impl", "auto")
+            db_tile = (
+                16384
+                if jax.devices()[0].platform == "tpu"
+                and _si in ("auto", "pallas_v3")
+                else 8192
+            )
         index = PartitionedIndex.build(
             ds,
             db_tile=db_tile,
@@ -194,16 +205,32 @@ class ShardedPartitionedEngine(PartitionedEngine):
             qb = common.QueryBatch(qV_l, ac, vq, at, lq, rq)
             inf = jnp.full((B,), jnp.inf, jnp.float32)
             cert_bin, cert_l2, cert_kc = inf, inf, inf
-            if impl == "xla_packed":
-                from hvq_tpu.ops.pallas_scan import deferred_packed_scan_xla
-
-                out_s, out_i = deferred_packed_scan_xla(
-                    Vp_l, C_l, T_l, dn_l, oid_l,
-                    qV_l, ac, vq, at, lq, rq, sn_,
-                    db_tile=db_tile, bin_top=bin_top,
-                    precision=self.precision,
-                    layout=self.scan_layout,
+            if impl in ("xla_packed", "pallas_v3"):
+                from hvq_tpu.ops.pallas_scan import (
+                    deferred_packed_scan_xla,
+                    fused_packed_scan_v3,
+                    v3_query_block,
                 )
+
+                if impl == "pallas_v3":
+                    # the fused Mosaic kernel runs shard-locally; the slab's
+                    # oid column drives the sample mask, positions come back
+                    # slab-local exactly like the XLA twin (VERDICT r3 #3)
+                    out_s, out_i = fused_packed_scan_v3(
+                        Vp_l, C_l, T_l, dn_l, oid_l,
+                        qV_l, ac, vq, at, lq, rq, sn_,
+                        db_tile=db_tile, bin_top=bin_top,
+                        b_block=v3_query_block(B, 256),
+                        interpret=self._interpret,
+                    )
+                else:
+                    out_s, out_i = deferred_packed_scan_xla(
+                        Vp_l, C_l, T_l, dn_l, oid_l,
+                        qV_l, ac, vq, at, lq, rq, sn_,
+                        db_tile=db_tile, bin_top=bin_top,
+                        precision=self.precision,
+                        layout=self.scan_layout,
+                    )
                 W = out_s.shape[1]
                 kp = min(kprime, W)
                 worst2 = None
@@ -309,7 +336,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
         f_ids, f_d = common.finalize_with_tail(
             merged_d, merged_ids, tail_V, qb_g, n, k
         )
-        if self.certified and impl == "xla_packed":
+        if self.certified and impl in ("xla_packed", "pallas_v3"):
             # Same construction as PartitionedEngine._search_full; each
             # term was pmin-reduced over "d" so one replicated scalar per
             # query certifies the whole sharded scan.
@@ -340,7 +367,12 @@ class ShardedPartitionedEngine(PartitionedEngine):
     ):
         assert row0 is None and ntw is None, "window path disabled on mesh"
         bin_top = self.bin_top if bin_top is None else bin_top
-        impl = "xla_packed" if bin_top is not None else "xla"
+        if bin_top is None:
+            impl = "xla"
+        elif self.scan_impl == "pallas_v3":
+            impl = "pallas_v3"
+        else:
+            impl = "xla_packed"
         f_ids, f_d, suspect = self._sharded_scan(
             Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
             qV, qtype, v, l, r, sn, n, k, bin_top, level2, impl,

@@ -72,7 +72,7 @@ class ShardedEngine:
         self,
         ds: Dataset,
         mesh=None,
-        db_tile: int = 8192,
+        db_tile: int | None = None,
         query_batch: int = 256,
         kprime: int = 128,
         dtype=jnp.float32,
@@ -94,6 +94,26 @@ class ShardedEngine:
         self.n_q = self.mesh.shape.get("q", 1)
         if query_batch % max(self.n_q, 1):
             raise ValueError("query_batch must divide over the q axis")
+        # Per-shard scan: the fused v3 Mosaic kernel (the measured TPU
+        # winner, CHANGELOG r3) runs shard-locally inside the shard_map —
+        # same policy as BatchedEngine, resolved before the DB layout
+        # because v3 wants 16384-row tiles.
+        if scan_impl == "auto":
+            scan_impl = (
+                "pallas_v3"
+                if jax.devices()[0].platform == "tpu"
+                else "xla"
+            )
+        if db_tile is None:
+            db_tile = 16384 if scan_impl == "pallas_v3" else 8192
+        elif (
+            scan_impl == "pallas_v3"
+            and (db_tile // BIN) % 128
+            and jax.devices()[0].platform == "tpu"
+        ):
+            scan_impl = "xla_packed"    # tile too small for the v3 reshape
+        if scan_impl == "pallas_v3":
+            scan_layout = "axis1"       # the kernel emits the axis1 layout
         self.db = DeviceDB.from_dataset(
             ds,
             db_tile=db_tile,
@@ -134,20 +154,13 @@ class ShardedEngine:
                 db_tile, local_rows, kprime, certified=self.certified
             )
         else:
+            # v3's out_w = R·(Dt/128) is 128-aligned whenever Dt ≥ 16384,
+            # so the plain Poisson choice applies unrounded.
             self.bin_top = choose_bin_top(
                 local_rows, kprime, certified=self.certified
             )
-        if scan_impl == "auto":
-            # See models/batched._default_scan_impl: Mosaic compiles hang on
-            # this environment's axon relay; the packed deferred scan is the
-            # same algorithm in pure XLA.
-            scan_impl = (
-                "xla_packed"
-                if jax.devices()[0].platform == "tpu" and self.bin_top
-                else "xla"
-            )
         if (
-            scan_impl in ("pallas", "xla_deferred", "xla_packed")
+            scan_impl in ("pallas", "pallas_v3", "xla_deferred", "xla_packed")
             and self.bin_top is None
         ):
             scan_impl = "xla"
@@ -248,17 +261,28 @@ class ShardedEngine:
             # (suspect = any term under threshold, as before).
             inf = jnp.full((Bl,), jnp.inf, jnp.float32)
             cert_bin, cert_l2, cert_kc = inf, inf, inf
-            if impl in ("pallas", "xla_deferred", "xla_packed"):
+            if impl in ("pallas", "pallas_v3", "xla_deferred", "xla_packed"):
                 from hvq_tpu.ops.pallas_scan import (
                     deferred_bin_scan_xla,
                     deferred_packed_scan_xla,
                     fused_packed_scan,
+                    fused_packed_scan_v3,
+                    v3_query_block,
                 )
 
                 gid_l = (
                     jnp.arange(local_n, dtype=jnp.int32) + offset
                 ).astype(jnp.int32)
-                if impl == "pallas":
+                if impl == "pallas_v3":
+                    out_s, out_i = fused_packed_scan_v3(
+                        Vp_l, C_l, T_l, dn_l, gid_l,
+                        qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
+                        db_tile=db_tile, bin_top=bin_top,
+                        b_block=v3_query_block(qV_l.shape[0], 256),
+                        interpret=self.interpret,
+                    )
+                    out_i = out_i + offset  # local positions → global ids
+                elif impl == "pallas":
                     out_s, out_i = fused_packed_scan(
                         Vp_l, C_l, T_l, dn_l, gid_l,
                         qV_l, ac_l, v_l, at_l, l_l, r_l, sn_,
@@ -308,7 +332,9 @@ class ShardedEngine:
                     # them a certificate for the whole sharded scan
                     if kp < W:
                         cert_kc = scores[:, kp - 1]
-                    if self.repair_bins and impl == "xla_packed":
+                    if self.repair_bins and impl in (
+                        "xla_packed", "pallas_v3"
+                    ):
                         # in-program bin repair (common.bin_repair_
                         # candidates): gathers are shard-LOCAL, candidate
                         # ids global — id_offset translates at the edge.
@@ -394,7 +420,9 @@ class ShardedEngine:
         f_ids, f_d = common.finalize_with_tail(
             merged_d, merged_ids, tail_V, qb_global, n, k
         )
-        if self.certified and impl in ("pallas", "xla_deferred", "xla_packed"):
+        if self.certified and impl in (
+            "pallas", "pallas_v3", "xla_deferred", "xla_packed"
+        ):
             t = f_d[:, k - 1]
             qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
             thr = t + (
@@ -498,7 +526,9 @@ class ShardedEngine:
         from hvq_tpu.models.batched import rerun_suspect_ladder
 
         deeper = None
-        if self.scan_impl in ("pallas", "xla_packed", "xla_deferred"):
+        if self.scan_impl in (
+            "pallas", "pallas_v3", "xla_packed", "xla_deferred"
+        ):
             d = min(2 * self.bin_top, BIN)
             deeper = d if d > self.bin_top else None
         db_args = (

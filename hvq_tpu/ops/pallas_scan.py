@@ -1016,7 +1016,7 @@ def _make_packed_kernel_v3(bin_top: int, bf16_plane: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("db_tile", "bin_top", "b_block", "interpret"),
+    static_argnames=("db_tile", "bin_top", "b_block", "interpret", "ntw"),
 )
 def fused_packed_scan_v3(
     Vp, C, T, dn, oid, qV, active_c, v, active_t, l, r, sn,
@@ -1024,6 +1024,8 @@ def fused_packed_scan_v3(
     bin_top: int = 2,
     b_block: int = 256,
     interpret: bool = False,
+    row0=None,
+    ntw: int | None = None,
 ):
     """v3 fused kernel: sublane-axis bin rounds + optional bf16 scan plane.
 
@@ -1032,6 +1034,12 @@ def fused_packed_scan_v3(
     row positions), W = nt · bin_top · db_tile/128. Pass a bf16 ``Vp``
     (DeviceDB.V_scan) for the single-pass matmul; fp32 inputs run the
     manual 3-pass bf16 decomposition like v2.
+
+    ``row0`` (dynamic, tile-aligned) + ``ntw`` (static): scan only the
+    ``ntw``-tile window starting at row ``row0`` — the window offset rides
+    the scalar-prefetch array and the BLOCK INDEX MAPS add it, so the same
+    kernel serves the partitioned engine's wide-type-2 window path with no
+    copy and no XLA fallback (VERDICT r3 #3). Positions come back GLOBAL.
 
     Requires ``db_tile`` ≥ 16384 (the reshaped epilogue wants ≥128 lanes)
     and db_tile % 128 == 0.
@@ -1051,7 +1059,7 @@ def fused_packed_scan_v3(
     b_block = min(b_block, B)
     if B % b_block:
         raise ValueError(f"B {B} not divisible by b_block {b_block}")
-    nt = n_pad // db_tile
+    nt = n_pad // db_tile if row0 is None else ntw
     nb = B // b_block
     out_w = bin_top * bins
 
@@ -1073,10 +1081,13 @@ def fused_packed_scan_v3(
             f"needs ~{vmem_est >> 20} MB VMEM; reduce b_block or db_tile"
         )
 
-    tile_row = lambda i, b, *_: (i, 0)   # DB tile: marches over i
-    tile_col = lambda i, b, *_: (0, i)
-    qrow = lambda i, b, *_: (b, 0)       # query blocks: march over b
-    out_ix = lambda i, b, *_: (b, i)
+    # Scalar-prefetch array [sn, t0]: the window's tile offset feeds the
+    # BLOCK INDEX MAPS (grid step i fetches database tile t0+i), so a
+    # dynamic window costs nothing when t0 == 0.
+    tile_row = lambda i, b, s: (s[1] + i, 0)   # DB tile: marches over i
+    tile_col = lambda i, b, s: (0, s[1] + i)
+    qrow = lambda i, b, s: (b, 0)              # query blocks: march over b
+    out_ix = lambda i, b, s: (b, i)            # outputs stay window-local
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1101,6 +1112,11 @@ def fused_packed_scan_v3(
         ],
     )
 
+    t0 = (
+        jnp.zeros((), jnp.int32)
+        if row0 is None
+        else (jnp.asarray(row0, jnp.int32) // db_tile)
+    )
     (packed_out,) = pl.pallas_call(
         _make_packed_kernel_v3(bin_top, bf16_plane),
         grid_spec=grid_spec,
@@ -1110,12 +1126,12 @@ def fused_packed_scan_v3(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n_pad * d,
-            bytes_accessed=n_pad * d * vbytes + B * nt * out_w * 4,
+            flops=2 * B * nt * db_tile * d,
+            bytes_accessed=nt * db_tile * d * vbytes + B * nt * out_w * 4,
             transcendentals=0,
         ),
     )(
-        jnp.asarray(sn, jnp.int32).reshape(1),
+        jnp.stack([jnp.asarray(sn, jnp.int32), t0]),
         Vp,
         C.reshape(1, -1),
         T.reshape(1, -1),
@@ -1138,6 +1154,8 @@ def fused_packed_scan_v3(
     bin_idx = colw % bins
     payload = packed_out & jnp.int32(0x7F)
     pos = tile_idx * db_tile + payload * bins + bin_idx
+    if row0 is not None:
+        pos = pos + row0            # window scan: GLOBAL view positions
     dist = jax.lax.bitcast_convert_type(
         packed_out & jnp.int32(~0x7F), jnp.float32
     )

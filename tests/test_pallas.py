@@ -297,3 +297,121 @@ def test_v3_engine_bf16_plane_matches_oracle():
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_fused_packed_kernel_v3_window_matches_xla_window():
+    """v3's dynamic row0/ntw window (scalar-prefetch index maps) vs the XLA
+    windowed twin: identical candidate multisets and GLOBAL positions."""
+    from hvq_tpu.ops.pallas_scan import (
+        deferred_packed_scan_xla,
+        fused_packed_scan_v3,
+    )
+
+    rng = np.random.default_rng(21)
+    n_pad, B, Dt, ntw = 8192, 8, 1024, 3
+    Vp = rng.standard_normal((n_pad, 128)).astype(np.float32)
+    C = rng.integers(0, 4, n_pad).astype(np.float32)
+    T = rng.uniform(-3, 3, n_pad).astype(np.float32)
+    dn = (Vp * Vp).sum(1).astype(np.float32)
+    oid = np.arange(n_pad, dtype=np.int32)
+    qV = rng.standard_normal((B, 128)).astype(np.float32)
+    ac = rng.random(B) < 0.5
+    at = rng.random(B) < 0.5
+    v = rng.integers(0, 4, B).astype(np.float32)
+    l = rng.uniform(-3, 0, B).astype(np.float32)
+    r = rng.uniform(0, 3, B).astype(np.float32)
+    args = [jnp.asarray(x) for x in (Vp, C, T, dn, oid, qV, ac, v, at, l, r)]
+    sn = jnp.int32(8000)
+
+    for row0 in (0, 2 * Dt, 5 * Dt):
+        s3, i3 = fused_packed_scan_v3(
+            *args, sn, db_tile=Dt, bin_top=2, interpret=True,
+            row0=jnp.int32(row0), ntw=ntw,
+        )
+        s_x, i_x = deferred_packed_scan_xla(
+            *args, sn, db_tile=Dt, bin_top=2, layout="axis1",
+            row0=jnp.int32(row0), ntw=ntw,
+        )
+        assert s3.shape == s_x.shape == (B, ntw * 2 * (Dt // 128))
+        # positions must be GLOBAL (inside [row0, row0 + ntw*Dt))
+        fin = np.isfinite(np.asarray(s3))
+        p3 = np.asarray(i3)[fin]
+        assert p3.min() >= row0 and p3.max() < row0 + ntw * Dt
+        for b in range(B):
+            top3 = np.asarray(i3)[b][np.argsort(np.asarray(s3)[b])[:16]]
+            topx = np.asarray(i_x)[b][np.argsort(np.asarray(s_x)[b])[:16]]
+            assert set(top3.tolist()) == set(topx.tolist()), row0
+
+
+def test_partitioned_v3_window_path_matches_oracle():
+    """PartitionedEngine wide-type-2 WINDOW path on the v3 kernel
+    (interpret): windowed dispatches actually engage and results stay
+    oracle-exact."""
+    from hvq_tpu.models.oracle import search_oracle
+    from hvq_tpu.models.partitioned import PartitionedEngine
+
+    ds = generate_dataset(8192, seed=90, categories=20)
+    # all type-2, ~3% T spans clustered in two T bands: too wide for the
+    # route bucket, and each start-sorted 64-query batch covers ≤ nt/2
+    # tiles so the window path engages
+    qs = generate_queries(128, seed=91, categories=20, types=(2,))
+    rng5 = np.random.default_rng(5)
+    qs.l[:64] = np.sort(rng5.uniform(-3.0, -1.2, 64))
+    qs.l[64:] = np.sort(rng5.uniform(0.8, 2.6, 64))
+    qs.r[:] = qs.l + 0.2
+    eng = PartitionedEngine(
+        ds, db_tile=512, query_batch=64, scan_impl="pallas_v3",
+        route_buckets=(128,), time_view_min_queries=1,
+    )
+    assert eng.scan_impl == "pallas_v3"
+    calls = []
+    jw, jwg = eng._jit_window, eng._jit_window_group
+
+    def spy(f):
+        def g(*a, **k):
+            calls.append(k.get("ntw"))
+            return f(*a, **k)
+        return g
+
+    eng._jit_window, eng._jit_window_group = spy(jw), spy(jwg)
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert calls, "window path never engaged"
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_sharded_v3_matches_oracle():
+    """ShardedEngine with the v3 kernel per shard (interpret, 8-dev CPU
+    mesh): oracle-exact through the shard_map + ICI merge."""
+    from hvq_tpu.models.oracle import search_oracle
+    from hvq_tpu.models.sharded import ShardedEngine
+
+    ds = generate_dataset(6000, seed=92, categories=20)
+    qs = generate_queries(32, seed=93, categories=20)
+    eng = ShardedEngine(ds, db_tile=256, query_batch=32,
+                        scan_impl="pallas_v3")
+    assert eng.scan_impl == "pallas_v3" and eng.scan_layout == "axis1"
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_partitioned_sharded_v3_matches_oracle():
+    """ShardedPartitionedEngine full path on the v3 kernel per shard
+    (interpret): oracle-exact."""
+    from hvq_tpu.models.oracle import search_oracle
+    from hvq_tpu.models.partitioned_sharded import ShardedPartitionedEngine
+
+    ds = generate_dataset(6144, seed=94, categories=20)
+    qs = generate_queries(32, seed=95, categories=20)
+    eng = ShardedPartitionedEngine(
+        ds, db_tile=256, query_batch=32, scan_impl="pallas_v3",
+        route_buckets=(256,),
+    )
+    assert eng.scan_impl == "pallas_v3"
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0

@@ -49,6 +49,7 @@ def _populate() -> None:
             "ShardedPartitionedEngine",
         ),
         ("ivf", "hvq_tpu.models.ivf", "IVFEngine"),
+        ("paged", "hvq_tpu.models.paged", "PagedEngine"),
     ]:
         try:
             _REGISTRY[name] = getattr(importlib.import_module(mod), cls)

@@ -50,6 +50,10 @@ class SortedView:
     T_key: np.ndarray     # (n,) reordered T values
     n: int
     db_tile: int
+    # Optional bf16 SCAN plane (scan_store="bf16"): the dense selection
+    # matmul reads this half-width copy; refinement keeps gathering the
+    # exact fp32 Vp rows (models/device_db.py has the full rationale).
+    V_scan: jnp.ndarray | None = None
 
     @property
     def n_pad(self) -> int:
@@ -58,6 +62,11 @@ class SortedView:
     @property
     def num_tiles(self) -> int:
         return self.n_pad // self.db_tile
+
+    @property
+    def scan_V(self) -> jnp.ndarray:
+        """The plane the selection scan reads (bf16 if present, else Vp)."""
+        return self.V_scan if self.V_scan is not None else self.Vp
 
 
 def _debug_phase(tag: str, t0: float) -> float:
@@ -79,6 +88,7 @@ def _build_view(
     dtype,
     row_multiple: int | None = None,
     V_dev: jnp.ndarray | None = None,
+    scan_store: str = "fp32",
 ) -> SortedView:
     """``row_multiple``: pad rows to this multiple instead of ``db_tile``
     (mesh-sharded engines need every shard to hold whole tiles).
@@ -144,6 +154,15 @@ def _build_view(
     d_norms = jnp.sum(Vp * Vp, axis=1)
     if dtype not in (None, jnp.float32):
         Vp = Vp.astype(dtype)
+    V_scan = None
+    if scan_store == "bf16":
+        if dtype not in (None, jnp.float32):
+            raise ValueError(
+                "scan_store='bf16' needs fp32 primary storage"
+            )
+        V_scan = Vp.astype(jnp.bfloat16)   # device-side round, +50% HBM
+    elif scan_store != "fp32":
+        raise ValueError(f"unknown scan_store {scan_store!r}")
     Vp.block_until_ready()
     t0 = _debug_phase("device_gather_pad", t0)
 
@@ -165,6 +184,7 @@ def _build_view(
         T_key=np.ascontiguousarray(T_r),
         n=n,
         db_tile=db_tile,
+        V_scan=V_scan,
     )
 
 
@@ -177,6 +197,7 @@ class PartitionedIndex:
     _db_tile: int = 8192
     _dtype: object = None
     _row_multiple: int | None = None
+    _scan_store: str = "fp32"
 
     @property
     def time_view(self) -> SortedView:
@@ -197,12 +218,14 @@ class PartitionedIndex:
             self._time_view = _build_view(
                 self._ds, perm, self._db_tile, self._dtype or jnp.float32,
                 row_multiple=self._row_multiple,
+                scan_store=self._scan_store,
             )
         return self._time_view
 
     @classmethod
     def build(cls, ds: Dataset, db_tile: int = 8192, dtype=jnp.float32,
-              lazy_time: bool = True, row_multiple: int | None = None):
+              lazy_time: bool = True, row_multiple: int | None = None,
+              scan_store: str = "fp32"):
         import os
         import time
 
@@ -244,19 +267,20 @@ class PartitionedIndex:
         out = cls(
             cat_view=_build_view(
                 ds, cat_perm, db_tile, dtype, row_multiple=row_multiple,
-                V_dev=V_dev,
+                V_dev=V_dev, scan_store=scan_store,
             ),
             T_sorted=T_sorted,
             _ds=ds,
             _db_tile=db_tile,
             _dtype=dtype,
             _row_multiple=row_multiple,
+            _scan_store=scan_store,
         )
         if not lazy_time:
             time_perm = np.argsort(ds.T, kind="stable").astype(np.int64)
             out._time_view = _build_view(
                 ds, time_perm, db_tile, dtype, row_multiple=row_multiple,
-                V_dev=V_dev,
+                V_dev=V_dev, scan_store=scan_store,
             )
             del V_dev
         return out

@@ -84,8 +84,9 @@ class PartitionedEngine:
         ds: Dataset,
         db_tile: int | None = None,
         query_batch: int = 1024,
-        kprime: int = 128,
+        kprime: int | None = None,
         dtype=jnp.float32,
+        scan_store: str = "fp32",
         precision: str = "high",
         topk_strategy: str = "topk",
         scan_impl: str = "auto",
@@ -121,8 +122,8 @@ class PartitionedEngine:
     ):
         # Full-path scan implementation: the v3 fused kernel (sublane-axis
         # bin rounds; measured +52% over xla_packed, CHANGELOG r3) on TPU,
-        # its XLA twin elsewhere. Windowed (wide-type-2) scans always use
-        # the XLA form — the v3 kernel has no dynamic row0 yet.
+        # its XLA twin elsewhere. Windowed (wide-type-2) scans ride the
+        # same kernel via its scalar-prefetch row0/ntw window (r4).
         if scan_impl == "auto":
             scan_impl = (
                 "pallas_v3"
@@ -140,7 +141,18 @@ class PartitionedEngine:
         self.scan_impl = scan_impl
         self._interpret = jax.devices()[0].platform != "tpu"
         self.index = index or PartitionedIndex.build(
-            ds, db_tile=db_tile, dtype=dtype
+            ds, db_tile=db_tile, dtype=dtype, scan_store=scan_store
+        )
+        # A provided index decides the scan plane itself (batched policy).
+        self._bf16_scan = self.index.cat_view.V_scan is not None
+        if kprime is None:
+            # bf16 plane: wider k' keeps the k'-cut boundary clear of the
+            # widened certificate envelope (see models/batched.py)
+            kprime = 256 if self._bf16_scan else 128
+        from hvq_tpu.models.batched import _CERT_REL_MM, _CERT_REL_MM_BF16
+
+        self._rel_mm = (
+            _CERT_REL_MM_BF16 if self._bf16_scan else _CERT_REL_MM
         )
         if self.scan_impl == "pallas_v3":
             if (self.index.cat_view.db_tile // 128) % 128 and not self._interpret:
@@ -157,15 +169,24 @@ class PartitionedEngine:
         self.query_batch = query_batch
         self.kprime = kprime
         self.precision = resolve_precision(precision)
+        # bf16 scan plane: one true MXU pass; the precision knob only
+        # decomposes fp32 operands (batched policy).
+        self._scan_precision = (
+            jax.lax.Precision.DEFAULT if self._bf16_scan else self.precision
+        )
         self.topk_strategy = topk_strategy
         self.compute_dtype = dtype
         # Same gate as BatchedEngine: the certificate's error model assumes
-        # ≥3-pass matmul selection on fp32 storage.
+        # ≥3-pass matmul selection on fp32 storage — or the bf16 scan
+        # plane's own widened envelope (refinement stays fp32 either way).
         self.certified = bool(
             certified
             and dtype == jnp.float32
-            and self.precision
-            in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+            and (
+                self._bf16_scan
+                or self.precision
+                in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+            )
         )
         n_pad = self.index.cat_view.n_pad
         # Snug extra bucket for whole-partition (type-1) windows: the max
@@ -268,8 +289,8 @@ class PartitionedEngine:
     # --- jitted cores ------------------------------------------------------
     def _search_routed(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view,  # flat view arrays
-        tail_V,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view,  # flat view
+        tail_V,       # arrays; Vs_view = scan plane (unused on this path)
         g_start,                 # (NG,) int32 shared window starts (aligned)
         starts, ends,            # (NG, G) int32 candidate spans per query
         qV, qtype, v, l, r,      # (NG*G, ...) flattened query batch
@@ -358,7 +379,7 @@ class PartitionedEngine:
 
     def _search_full(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view,
         tail_V,
         qV, qtype, v, l, r,
         sn, n,
@@ -398,7 +419,7 @@ class PartitionedEngine:
             )
 
             out_s, out_i = fused_packed_scan_v3(
-                Vp_view, C_view, T_view, dn_view, oid_view,
+                Vs_view, C_view, T_view, dn_view, oid_view,
                 qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
                 db_tile=db_tile, bin_top=bin_top,
                 b_block=v3_query_block(qV.shape[0], 256),
@@ -407,10 +428,10 @@ class PartitionedEngine:
             )
         else:
             out_s, out_i = deferred_packed_scan_xla(
-                Vp_view, C_view, T_view, dn_view, oid_view,
+                Vs_view, C_view, T_view, dn_view, oid_view,
                 qb.qV, qb.active_c, qb.v, qb.active_t, qb.l, qb.r, sn,
                 db_tile=db_tile, bin_top=bin_top,
-                precision=self.precision,
+                precision=self._scan_precision,
                 layout=self.scan_layout,
                 row0=row0, ntw=ntw,
             )
@@ -449,7 +470,7 @@ class PartitionedEngine:
             thr_pre = (
                 common.repair_thr_pre(
                     scores, k, qV, self._dn_max,
-                    _CERT_REL_MM, _CERT_REL_T, _CERT_ABS,
+                    self._rel_mm, _CERT_REL_T, _CERT_ABS,
                 )
                 if self.repair_gate
                 else None
@@ -469,7 +490,7 @@ class PartitionedEngine:
             t = f_d[:, k - 1]
             qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
             thr = t + (
-                _CERT_REL_MM * (qnorm + self._dn_max)
+                self._rel_mm * (qnorm + self._dn_max)
                 + _CERT_REL_T * t
                 + _CERT_ABS
             )
@@ -495,7 +516,7 @@ class PartitionedEngine:
 
     def _search_stream(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view,
         tail_V,
         qV, qtype, v, l, r,
         sn, n,
@@ -528,7 +549,7 @@ class PartitionedEngine:
 
     def _search_full_window(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
         row0,                     # () int32 window start row (tile-aligned)
         qV, qtype, v, l, r,
         sn, n,
@@ -545,13 +566,13 @@ class PartitionedEngine:
         step from the resident view (no window copy: the 10⁷ set already
         holds two 5.3 GB views in HBM) and returns global positions."""
         return self._search_full(
-            Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+            Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
             qV, qtype, v, l, r, sn, n, k, row0=row0, ntw=ntw,
         )
 
     def _search_full_window_group(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
         row0g,                            # (G,) int32 window starts
         qVg, qtypeg, vg, lg, rg,          # (G, B, ...) stacked batches
         sn, n,
@@ -563,7 +584,7 @@ class PartitionedEngine:
         def step(_, xs):
             row0, qV, qtype, v, l, r = xs
             return None, self._search_full_window(
-                Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+                Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
                 row0, qV, qtype, v, l, r, sn, n, k, ntw,
             )
 
@@ -572,7 +593,7 @@ class PartitionedEngine:
 
     def _search_full_group(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
         qVg, qtypeg, vg, lg, rg,          # (G, B, ...) stacked batches
         sn, n,
         k: int,
@@ -584,7 +605,7 @@ class PartitionedEngine:
         def step(_, xs):
             qV, qtype, v, l, r = xs
             return None, self._search_full(
-                Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+                Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
                 qV, qtype, v, l, r, sn, n, k, bin_top, level2,
             )
 
@@ -703,8 +724,8 @@ class PartitionedEngine:
                 # idx.time_view is LAZY (a second full HBM copy): only narrow
                 # type-2 queries ever reach vid == 1.
                 view = self._get_view(vid)
-                varg = (view.Vp, view.C, view.T, view.d_norms, view.oid,
-                        self.tail_V)
+                varg = (view.Vp, view.scan_V, view.C, view.T,
+                        view.d_norms, view.oid, self.tail_V)
                 # FULL route: batched dense packed scan, grouped dispatches
                 q_idx = np.nonzero(
                     (view_id == vid) & ~routable & ~windowed
@@ -749,7 +770,8 @@ class PartitionedEngine:
             # the bench warmup pass pays that, not the timed region)
             if win_batches:
                 tv = idx.time_view
-                varg_t = (tv.Vp, tv.C, tv.T, tv.d_norms, tv.oid, self.tail_V)
+                varg_t = (tv.Vp, tv.scan_V, tv.C, tv.T, tv.d_norms, tv.oid,
+                          self.tail_V)
                 by_ntw: dict[int, list] = {}
                 for row0, ntw, chunk in win_batches:
                     by_ntw.setdefault(ntw, []).append((row0, chunk))
@@ -831,7 +853,8 @@ class PartitionedEngine:
         from hvq_tpu.ops.pallas_scan import BIN
 
         view = self.index.cat_view
-        varg = (view.Vp, view.C, view.T, view.d_norms, view.oid, self.tail_V)
+        varg = (view.Vp, view.scan_V, view.C, view.T, view.d_norms,
+                view.oid, self.tail_V)
         deeper = (
             min(2 * self.bin_top, BIN) if self.bin_top is not None else None
         )

@@ -74,7 +74,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
         ds: Dataset,
         mesh=None,
         db_tile: int | None = None,
-        kprime: int = 128,
+        kprime: int | None = None,
         dtype=jnp.float32,
         bin_top: int | None = None,
         **kw,
@@ -102,6 +102,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
             db_tile=db_tile,
             dtype=dtype,
             row_multiple=self.n_d * db_tile,
+            scan_store=kw.get("scan_store", "fp32"),
         )
         super().__init__(
             ds,
@@ -122,7 +123,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
             # hold whole bins or the dense path streams (impl="xla")
             self.bin_top = (
                 choose_bin_top(
-                    self._local_n, kprime, certified=self.certified
+                    self._local_n, self.kprime, certified=self.certified
                 )
                 if db_tile % BIN == 0
                 else None
@@ -149,6 +150,10 @@ class ShardedPartitionedEngine(PartitionedEngine):
         view.Vp = jax.device_put(
             view.Vp, NamedSharding(self.mesh, P("d", None))
         )
+        if view.V_scan is not None:
+            view.V_scan = jax.device_put(
+                view.V_scan, NamedSharding(self.mesh, P("d", None))
+            )
         view.C = jax.device_put(view.C, rows)
         view.T = jax.device_put(view.T, rows)
         view.d_norms = jax.device_put(view.d_norms, rows)
@@ -172,7 +177,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
     # --- jitted cores --------------------------------------------------------
     def _sharded_scan(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
         qV, qtype, v, l, r,
         sn, n,
         k: int,
@@ -197,8 +202,8 @@ class ShardedPartitionedEngine(PartitionedEngine):
         )
         B = qV.shape[0]
 
-        def local_scan(Vp_l, C_l, T_l, dn_l, oid_l, qV_l, ac, vq, at, lq,
-                       rq, sn_, n_):
+        def local_scan(Vp_l, Vs_l, C_l, T_l, dn_l, oid_l, qV_l, ac, vq,
+                       at, lq, rq, sn_, n_):
             local_n = Vp_l.shape[0]
             nt = local_n // db_tile
             offset = jax.lax.axis_index("d") * local_n
@@ -217,7 +222,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
                     # oid column drives the sample mask, positions come back
                     # slab-local exactly like the XLA twin (VERDICT r3 #3)
                     out_s, out_i = fused_packed_scan_v3(
-                        Vp_l, C_l, T_l, dn_l, oid_l,
+                        Vs_l, C_l, T_l, dn_l, oid_l,
                         qV_l, ac, vq, at, lq, rq, sn_,
                         db_tile=db_tile, bin_top=bin_top,
                         b_block=v3_query_block(B, 256),
@@ -225,10 +230,10 @@ class ShardedPartitionedEngine(PartitionedEngine):
                     )
                 else:
                     out_s, out_i = deferred_packed_scan_xla(
-                        Vp_l, C_l, T_l, dn_l, oid_l,
+                        Vs_l, C_l, T_l, dn_l, oid_l,
                         qV_l, ac, vq, at, lq, rq, sn_,
                         db_tile=db_tile, bin_top=bin_top,
-                        precision=self.precision,
+                        precision=self._scan_precision,
                         layout=self.scan_layout,
                     )
                 W = out_s.shape[1]
@@ -260,7 +265,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
                         thr_pre = (
                             common.repair_thr_pre(
                                 scores, k, qV_l, self._dn_max,
-                                _CERT_REL_MM, _CERT_REL_T, _CERT_ABS,
+                                self._rel_mm, _CERT_REL_T, _CERT_ABS,
                             )
                             if self.repair_gate
                             else None
@@ -323,13 +328,13 @@ class ShardedPartitionedEngine(PartitionedEngine):
             local_scan,
             mesh=self.mesh,
             in_specs=(
-                P("d", None), P("d"), P("d"), P("d"), P("d"),
+                P("d", None), P("d", None), P("d"), P("d"), P("d"), P("d"),
                 P(), P(), P(), P(), P(), P(),
                 P(), P(),
             ),
             out_specs=(P(), P(), P(), P(), P()),
             check_vma=False,
-        )(Vp_view, C_view, T_view, dn_view, oid_view,
+        )(Vp_view, Vs_view, C_view, T_view, dn_view, oid_view,
           qV, active_c, vv, active_t, ll, rr, sn, n)
 
         qb_g = common.QueryBatch(qV, active_c, vv, active_t, ll, rr)
@@ -343,7 +348,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
             t = f_d[:, k - 1]
             qnorm = jnp.sum(qV.astype(jnp.float32) ** 2, axis=1)
             thr = t + (
-                _CERT_REL_MM * (qnorm + self._dn_max)
+                self._rel_mm * (qnorm + self._dn_max)
                 + _CERT_REL_T * t
                 + _CERT_ABS
             )
@@ -356,7 +361,7 @@ class ShardedPartitionedEngine(PartitionedEngine):
 
     def _search_full(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
         qV, qtype, v, l, r,
         sn, n,
         k: int,
@@ -374,14 +379,14 @@ class ShardedPartitionedEngine(PartitionedEngine):
         else:
             impl = "xla_packed"
         f_ids, f_d, suspect = self._sharded_scan(
-            Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+            Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
             qV, qtype, v, l, r, sn, n, k, bin_top, level2, impl,
         )
         return bundle_ids(f_ids.astype(jnp.int32), suspect, self._id_mode), f_d
 
     def _search_stream(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
         qV, qtype, v, l, r,
         sn, n,
         k: int,
@@ -389,14 +394,14 @@ class ShardedPartitionedEngine(PartitionedEngine):
         """Escalation-ladder last rung: per-shard streaming top-k' scan
         (certified by construction) + ICI merge."""
         f_ids, f_d, _ = self._sharded_scan(
-            Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+            Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
             qV, qtype, v, l, r, sn, n, k, None, False, "xla",
         )
         return f_ids, f_d
 
     def _search_routed(
         self,
-        Vp_view, C_view, T_view, dn_view, oid_view, tail_V,
+        Vp_view, Vs_view, C_view, T_view, dn_view, oid_view, tail_V,
         g_start,                 # (NG,) int32 — NG = n_d · NG_l, shard-major
         starts, ends,            # (NG, G) int32 spans (global view positions)
         qV, qtype, v, l, r,      # (NG·G, ...) flattened slot query batch

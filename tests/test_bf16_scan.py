@@ -108,3 +108,51 @@ def test_bf16_scan_reported_distances_are_fp32_exact():
     ids32, d32 = eng32.search(qs)
     ids16, d16 = eng16.search(qs)
     np.testing.assert_array_equal(d32, d16)
+
+
+def test_partitioned_bf16_plane_matches_oracle():
+    """PartitionedEngine with the certified bf16 scan plane: the dense
+    path's selection reads the half-width copy, refinement + routed path
+    keep fp32, results stay oracle-exact (VERDICT r3 #2 wiring)."""
+    from hvq_tpu.models.oracle import search_oracle
+    from hvq_tpu.models.partitioned import PartitionedEngine
+    from hvq_tpu.utils.compare import recall_at_k
+    from hvq_tpu.utils.generators import generate_dataset, generate_queries
+
+    from conftest import assert_results_match
+
+    ds = generate_dataset(20000, seed=60, categories=25)
+    qs = generate_queries(64, seed=61, categories=25)
+    eng = PartitionedEngine(
+        ds, db_tile=1024, query_batch=32, scan_store="bf16",
+        route_buckets=(1024, 4096),
+    )
+    assert eng._bf16_scan and eng.kprime == 256 and eng.certified
+    assert eng.index.cat_view.V_scan is not None
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_partitioned_sharded_bf16_plane_matches_oracle():
+    """Sharded flagship with the bf16 plane: the plane shards over "d"
+    beside the fp32 view; per-shard scans read it, refinement stays fp32."""
+    from hvq_tpu.models.oracle import search_oracle
+    from hvq_tpu.models.partitioned_sharded import ShardedPartitionedEngine
+    from hvq_tpu.utils.compare import recall_at_k
+    from hvq_tpu.utils.generators import generate_dataset, generate_queries
+
+    from conftest import assert_results_match
+
+    ds = generate_dataset(8192, seed=62, categories=20)
+    qs = generate_queries(32, seed=63, categories=20)
+    eng = ShardedPartitionedEngine(
+        ds, db_tile=256, query_batch=32, scan_store="bf16",
+        route_buckets=(256,),
+    )
+    assert eng._bf16_scan and eng.kprime == 256
+    oids, odists = search_oracle(ds, qs)
+    ids, dists = eng.search(qs)
+    assert_results_match(ds, qs, ids, dists, oids, odists)
+    assert recall_at_k(ids, oids, dists, odists) == 1.0

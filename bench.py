@@ -315,9 +315,15 @@ def attempt(engine_name: str) -> None:
         engine_kwargs["time_view_max_bytes"] = int(
             os.environ["HVQ_BENCH_TV_MAX"]
         )
-    if os.environ.get("HVQ_BENCH_STORE"):
-        # "bf16" = certified bf16 scan plane + fp32 refine table (batched)
-        engine_kwargs["scan_store"] = os.environ["HVQ_BENCH_STORE"]
+    # "bf16" = certified bf16 scan plane + fp32 refine table. Default ON at
+    # flagship scale: measured 8535 → 8987 QPS at D=10⁷ mixed (and exact,
+    # max|dist-ref| = 0) vs fp32's 7962 (experiments/flagship_ab.py, r4);
+    # at D≤10⁶ fp32 wins slightly (17451 vs 16986) and halving scan bytes
+    # buys nothing, so the plane stays off below 4M rows.
+    store_default = "bf16" if n >= 4_000_000 else "fp32"
+    store = os.environ.get("HVQ_BENCH_STORE", store_default)
+    if store != "fp32":
+        engine_kwargs["scan_store"] = store
     if os.environ.get("HVQ_BENCH_DTYPE") == "bf16":
         import jax.numpy as jnp
 

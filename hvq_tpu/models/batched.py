@@ -25,17 +25,23 @@ better-than-t row only if its R-th (worst) kept quantized distance is
 below t plus a rigorous fp-slack (matmul-accumulation + key-quantization
 error bounds, see ``_CERT_*`` below); the k'-cut is checked the same way.
 BENIGN saturation (two of the top-k' sharing a bin by Poisson chance —
-~6% of queries at D=10⁷/R=2) is repaired IN-PROGRAM: the ``repair_bins``
-most-saturated bins' 128 rows are appended to the exact-refine candidate
-set (common.bin_repair_candidates), so the bin term of the certificate
-becomes "the (rb+1)-th most-saturated bin is still under threshold" and
-the flag rate drops to adversarial cases only. Suspect flags ride back to
-the host with the ids (1 byte/query), and suspect batches — expected only
-on bin-concentrated layouts wider than ``repair_bins`` — are re-run
-through the certified-exact ``lax.top_k`` streaming path (one
-lazily-compiled program, pow-2-compacted batch shapes). This makes the
-fast packed path EXACT at every database size, replacing the old small-DB
-fallback to the slow path.
+~6% of queries at D=10⁷/R=2) can be repaired IN-PROGRAM: the
+``repair_bins`` most-saturated bins' 128 rows are appended to the
+exact-refine candidate set (common.bin_repair_candidates), so the bin
+term of the certificate becomes "the (rb+1)-th most-saturated bin is
+still under threshold" and the flag rate drops to adversarial cases only.
+Suspect flags ride back to the host with the ids (1 byte/query), and
+suspect batches are re-run through a compacted ladder (deeper-bin rung,
+then the certified-exact ``lax.top_k`` streaming path; one lazily-compiled
+program, pow-2-compacted batch shapes). This makes the fast packed path
+EXACT at every database size, replacing the old small-DB fallback to the
+slow path. The DEFAULT is ``repair_bins=0`` (rerun-only): the in-program
+repair's gather + widened refine costs ~19 ms on EVERY batch while the
+rerun wall for the same suspects is ~4 ms/batch — measured 16238 → 23109
+QPS at D=10⁶ and 8535 → 8987 at D=10⁷ on the bf16 plane
+(experiments/v3_tail_sweep.py, experiments/flagship_ab.py, r4). The
+in-program repair stays available for latency-sensitive serving where the
+rerun's extra host round-trip matters more than throughput.
 
 Scan implementations (``scan_impl``; measured ladder in CHANGELOG.md):
 
@@ -339,7 +345,7 @@ class BatchedEngine:
         bin_top: int | None = None,
         l2_min_w: int = 16384,
         scan_layout: str = "axis1",
-        repair_bins: int = 4,
+        repair_bins: int = 0,
         repair_gate: bool = False,
         scan_store: str = "fp32",
         v3_b_block: int = 256,

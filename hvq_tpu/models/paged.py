@@ -88,7 +88,10 @@ class PagedEngine:
         certified: bool = True,
         bin_top: int | None = None,
         l2_min_w: int = 16384,
-        repair_bins: int = 4,
+        # 0 = rerun-only suspects (the paged rerun rung runs while the
+        # window is still resident, so it stays one-pass; measured faster
+        # than in-program repair on every dense engine, r4)
+        repair_bins: int = 0,
         scan_store: str = "fp32",
         dispatch_group: int = 8,
     ):

@@ -107,8 +107,11 @@ class PartitionedEngine:
         # In-program bin repair width: exact-refine the rb most-saturated
         # bins per query so benign Poisson collisions (≈6% of queries at
         # D=10⁷/R=2) stop triggering full-view rerun rescans; 0 disables
-        # (common.bin_repair_candidates).
-        repair_bins: int = 4,
+        # (common.bin_repair_candidates). Default 0: the repair gather +
+        # widened refine taxes EVERY batch ~19 ms while the compacted
+        # rerun ladder absorbs the suspects for ~4 ms/batch — measured
+        # +42% at D=10⁶ and +5-13% at D=10⁷ (experiments/flagship_ab.py).
+        repair_bins: int = 0,
         repair_gate: bool = False,
         # Economics gate for the LAZY time view (a second full database
         # copy in HBM + upload): only materialize once a single search

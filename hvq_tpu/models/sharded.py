@@ -85,7 +85,9 @@ class ShardedEngine:
         bin_top: int | None = None,
         l2_min_w: int = 16384,
         scan_layout: str = "axis1",
-        repair_bins: int = 4,
+        # 0 = rerun-only suspects (measured faster than in-program repair
+        # on every dense engine, r4 — see models.batched module docstring)
+        repair_bins: int = 0,
         repair_gate: bool = False,
     ):
         self.mesh = mesh or make_mesh()

@@ -57,6 +57,9 @@ def _plant(ds, qs, bin_no, n_rows, rng, sigma=1e-4):
 
 
 def _run(ds, qs, k=10, engine="partitioned", **kw):
+    # this module tests the in-program repair mechanism, which is opt-in
+    # since r4 (engine default repair_bins=0 = rerun-only, measured faster)
+    kw.setdefault("repair_bins", 4)
     eng = hvq_tpu.get_engine(engine)(
         ds, db_tile=DB_TILE, query_batch=8, **kw
     )
@@ -233,7 +236,7 @@ def test_lane_layout_repair():
     )
     eng = hvq_tpu.get_engine("batched")(
         ds, db_tile=DB_TILE, query_batch=8, scan_impl="xla_packed",
-        bin_top=2, scan_layout="lane",
+        bin_top=2, scan_layout="lane", repair_bins=4,
     )
     ids, dists = eng.search(qs, k=10)
     oids, odists = search_oracle(ds, qs, k=10)

@@ -1,12 +1,13 @@
 #!/bin/bash
-# One-session headline table (VERDICT r2 #5): every README row re-measured
-# with the CURRENT code into a single HVQ_BENCH_LOG file, so the published
-# table stops mixing eras. Each row is one supervised bench.py config; the
-# dataset caches in /dev/shm make repeats cheap.
+# One-session headline table (VERDICT r2 #5, refreshed for r4 per VERDICT r3
+# #8): every README row re-measured with the CURRENT code into a single
+# HVQ_BENCH_LOG file, so the published table stops mixing eras. Each row is
+# one supervised bench.py config (median-of-3 timed searches, 64-query
+# oracle check); the dataset + perm caches in /dev/shm make repeats cheap.
 #
 # Usage: bash experiments/headline_table.sh [logfile]
 set -u
-LOG="${1:-/tmp/bench_log_r3.md}"
+LOG="${1:-/tmp/bench_log_r4.md}"
 cd "$(dirname "$0")/.."
 export HVQ_BENCH_LOG="$LOG"
 export HVQ_BENCH_NO_FALLBACK=1
@@ -17,14 +18,22 @@ run() { # name env...
   env "$@" timeout 2400 python bench.py 2>&1 | grep -E '^\{"metric"' | tail -1
 }
 
-# large D=10^7 mixed, flagship (also produced by the default bench run)
+# large D=10^7 mixed, flagship (bf16 scan plane is the >=4M-row default)
 run "large-mixed-partitioned" HVQ_BENCH_ENGINE=partitioned
+# large mixed, fp32 selection plane (the bf16-plane A/B partner)
+run "large-mixed-partitioned-fp32" HVQ_BENCH_ENGINE=partitioned \
+    HVQ_BENCH_STORE=fp32
+# large mixed on the mesh path (1 real device; multi-chip covered by dryrun)
+run "large-mixed-partitioned-sharded" HVQ_BENCH_ENGINE=partitioned_sharded
 # large type-0 only: the dense floor (no routing possible)
 run "large-type0-batched" HVQ_BENCH_ENGINE=batched HVQ_BENCH_TYPES=0
 # medium D=10^6 mixed
 run "medium-mixed-partitioned" HVQ_BENCH_ENGINE=partitioned \
     HVQ_BENCH_N=1000000 HVQ_BENCH_Q=10000
-# medium certified bf16 scan plane (batched: the engine that supports it)
+# medium dense engine (type-mixed, fp32: the plane loses below ~4M rows)
+run "medium-mixed-batched" HVQ_BENCH_ENGINE=batched \
+    HVQ_BENCH_N=1000000 HVQ_BENCH_Q=10000
+# medium certified bf16 scan plane (batched A/B partner)
 run "medium-bf16-plane-batched" HVQ_BENCH_ENGINE=batched \
     HVQ_BENCH_N=1000000 HVQ_BENCH_Q=10000 HVQ_BENCH_STORE=bf16
 # default D=10^4

@@ -34,6 +34,7 @@ case 664 s on 6 threads => 15 QPS, BASELINE.md). Environment overrides:
   HVQ_BENCH_CLUSTERS mixture clusters (0 = uniform reference distribution)
   HVQ_BENCH_DTYPE    "bf16" = low-precision fast mode (recall reported)
   HVQ_BENCH_SCAN_IMPL / HVQ_BENCH_DB_TILE / HVQ_BENCH_QB / HVQ_BENCH_PRECISION
+  HVQ_BENCH_KPRIME   selection depth k' override
   HVQ_BENCH_LOG      markdown file to append a CHANGELOG-style row to
   HVQ_BENCH_BUDGET1 / HVQ_BENCH_BUDGET2   attempt wall budgets, seconds
   HVQ_BENCH_NO_FALLBACK=1                 single attempt, no engine ladder
@@ -294,6 +295,8 @@ def attempt(engine_name: str) -> None:
         engine_kwargs["query_batch"] = int(os.environ["HVQ_BENCH_QB"])
     if os.environ.get("HVQ_BENCH_PRECISION"):
         engine_kwargs["precision"] = os.environ["HVQ_BENCH_PRECISION"]
+    if os.environ.get("HVQ_BENCH_KPRIME"):
+        engine_kwargs["kprime"] = int(os.environ["HVQ_BENCH_KPRIME"])
     if os.environ.get("HVQ_BENCH_BIN_TOP"):
         engine_kwargs["bin_top"] = int(os.environ["HVQ_BENCH_BIN_TOP"])
     if os.environ.get("HVQ_BENCH_SCAN_LAYOUT"):

@@ -85,7 +85,9 @@ def main():
     for name, kw in [
         ("bf16 shipped default (B=1024)", {}),
         ("bf16 B=2048", dict(query_batch=2048)),
+        ("bf16 k'=208", dict(kprime=208)),
         ("bf16 k'=224", dict(kprime=224)),
+        ("bf16 k'=240", dict(kprime=240)),
         ("bf16 dispatch_group=16", dict(dispatch_group=16)),
     ]:
         try:
@@ -100,9 +102,9 @@ def main():
 
     # The mesh path on the single real chip: its own (sharded) index build.
     try:
-        from hvq_tpu.models.partitioned_sharded import PartitionedShardedEngine
+        from hvq_tpu.models.partitioned_sharded import ShardedPartitionedEngine
         t0 = time.perf_counter()
-        eng = PartitionedShardedEngine(ds)
+        eng = ShardedPartitionedEngine(ds)
         print(f"[sharded index built in {time.perf_counter() - t0:.0f}s]",
               flush=True)
         timeit("partitioned_sharded (1 device)", eng)

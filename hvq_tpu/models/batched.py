@@ -556,7 +556,7 @@ class BatchedEngine:
                     Vp, Cf, Tf, dnf, self._pos,
                     qV, active_c, vv, active_t, ll, rr, sn,
                     db_tile=Dt, bin_top=bin_top,
-                    b_block=min(256, B),
+                    b_block=v3_query_block(B, 256),
                     interpret=self.interpret,
                 )
             elif impl == "pallas_v3":

@@ -415,3 +415,19 @@ def test_partitioned_sharded_v3_matches_oracle():
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)
     assert recall_at_k(ids, oids, dists, odists) == 1.0
+
+
+def test_non_divisible_query_batch():
+    """query_batch values the kernel b_block caps don't divide (384 > 256)
+    must not raise: b_block falls back to the largest divisor of B
+    (ADVICE r3 for v3; the opt-in v2 call site got the same fix in r4)."""
+    from hvq_tpu.models.oracle import search_oracle
+
+    ds = generate_dataset(2048, seed=96, categories=8)
+    qs = generate_queries(384, seed=97, categories=8)
+    oids, odists = search_oracle(ds, qs)
+    for impl in ("pallas_v2", "pallas_v3"):
+        eng = BatchedEngine(ds, db_tile=512, query_batch=384, scan_impl=impl)
+        ids, dists = eng.search(qs)
+        assert_results_match(ds, qs, ids, dists, oids, odists)
+        assert recall_at_k(ids, oids, dists, odists) == 1.0

@@ -405,8 +405,14 @@ class BatchedEngine:
             # bf16 scan plane: the certificate slack widens ~500× (see
             # _CERT_REL_MM_BF16); a wider k' keeps the k'-cut boundary —
             # the 128th-best selection score — clear of t + slack so the
-            # k'-cut term stays quiet on typical layouts.
-            kprime = 256 if self._bf16_scan else 128
+            # k'-cut term stays quiet on typical layouts. 240, not 256:
+            # k'=256 pays a selection-stage cliff worth 13-15% QPS at
+            # D=10⁷ (two sessions, experiments/flagship_tune.py: 8809/8686
+            # at k'=240/224 vs 7687 at 256, rerun phase flat — R is 3 for
+            # every k' in 192-256, so slack behavior is unchanged), while
+            # k'≤208 approaches the measured rerun-storm cliff (k'=192
+            # melted down to 4357 QPS, experiments/flagship_ab.py).
+            kprime = 240 if self._bf16_scan else 128
         self.kprime = kprime
         self.precision = resolve_precision(precision)
         # bf16 scan inputs take one true MXU pass; the precision knob only

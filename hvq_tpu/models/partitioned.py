@@ -150,8 +150,9 @@ class PartitionedEngine:
         self._bf16_scan = self.index.cat_view.V_scan is not None
         if kprime is None:
             # bf16 plane: wider k' keeps the k'-cut boundary clear of the
-            # widened certificate envelope (see models/batched.py)
-            kprime = 256 if self._bf16_scan else 128
+            # widened certificate envelope; 240 not 256 — the selection
+            # stage pays a measured cliff at k'=256 (see models/batched.py)
+            kprime = 240 if self._bf16_scan else 128
         from hvq_tpu.models.batched import _CERT_REL_MM, _CERT_REL_MM_BF16
 
         self._rel_mm = (

@@ -31,7 +31,7 @@ def test_bf16_scan_mode_wiring():
     eng = BatchedEngine(ds, query_batch=8, scan_impl="xla_packed",
                         scan_store="bf16")
     assert eng.certified, "bf16 scan plane must stay certified"
-    assert eng.kprime == 256, "k' must default wider under the bf16 slack"
+    assert eng.kprime == 240, "k' must default wider under the bf16 slack"
     assert eng.db.V_scan is not None and eng.db.V_scan.dtype == jnp.bfloat16
     assert eng.db.Vp.dtype == jnp.float32, "refine table stays fp32"
     # the slack actually widened
@@ -127,7 +127,7 @@ def test_partitioned_bf16_plane_matches_oracle():
         ds, db_tile=1024, query_batch=32, scan_store="bf16",
         route_buckets=(1024, 4096),
     )
-    assert eng._bf16_scan and eng.kprime == 256 and eng.certified
+    assert eng._bf16_scan and eng.kprime == 240 and eng.certified
     assert eng.index.cat_view.V_scan is not None
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
@@ -151,7 +151,7 @@ def test_partitioned_sharded_bf16_plane_matches_oracle():
         ds, db_tile=256, query_batch=32, scan_store="bf16",
         route_buckets=(256,),
     )
-    assert eng._bf16_scan and eng.kprime == 256
+    assert eng._bf16_scan and eng.kprime == 240
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)

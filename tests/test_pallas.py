@@ -292,7 +292,7 @@ def test_v3_engine_bf16_plane_matches_oracle():
     qs = generate_queries(16, seed=83, categories=20)
     eng = BatchedEngine(ds, query_batch=16, scan_impl="pallas_v3",
                         scan_store="bf16")
-    assert eng.certified and eng.kprime == 256
+    assert eng.certified and eng.kprime == 240
     oids, odists = search_oracle(ds, qs)
     ids, dists = eng.search(qs)
     assert_results_match(ds, qs, ids, dists, oids, odists)

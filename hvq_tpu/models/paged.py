@@ -80,7 +80,7 @@ class PagedEngine:
         ds: Dataset,
         db_tile: int | None = None,
         query_batch: int = 1024,
-        kprime: int = 128,
+        kprime: int | None = None,
         precision: str = "high",
         scan_impl: str = "auto",
         window_rows: int | None = None,
@@ -114,6 +114,12 @@ class PagedEngine:
         self.ds = ds
         self.db_tile = db_tile
         self.query_batch = query_batch
+        if kprime is None:
+            # bf16 plane: widen k' like the dense engines (batched.py) so
+            # the k'-cut certificate term stays quiet under the widened
+            # slack — a flagged window here costs a RE-UPLOAD over the
+            # relay, the most expensive resource in paged mode.
+            kprime = 240 if scan_store == "bf16" else 128
         self.kprime = kprime
         self.precision = resolve_precision(precision)
         self.certified = bool(

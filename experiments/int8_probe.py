@@ -65,27 +65,20 @@ def mm_int8(q, d):
 
 
 def make_mosaic(in_dtype, acc_dtype, cast_f32):
+    """One (1,B,128) min-write per grid step — the exact kernel form that
+    compiled through the relay in probe v1; only the dot dtype varies."""
     from jax.experimental import pallas as pl
 
     out_dtype = jnp.float32 if cast_f32 else acc_dtype
-    big = (jnp.inf if out_dtype == jnp.float32
-           else jnp.iinfo(jnp.int32).max)
 
     def kern(q_ref, d_ref, o_ref):
-        t = pl.program_id(0)
         s = jax.lax.dot_general(
             q_ref[:], d_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
         if cast_f32:
             s = s.astype(jnp.float32)
-        m = jnp.min(s.reshape(B, 128, Dt // 128), axis=2)
-
-        @pl.when(t == 0)
-        def _():
-            o_ref[:] = jnp.full((B, 128), big, out_dtype)
-
-        o_ref[:] = jnp.minimum(o_ref[:], m)
+        o_ref[0] = jnp.min(s.reshape(B, 128, Dt // 128), axis=2)
 
     f = pl.pallas_call(
         kern,
@@ -94,10 +87,14 @@ def make_mosaic(in_dtype, acc_dtype, cast_f32):
             pl.BlockSpec((B, K), lambda t: (0, 0)),
             pl.BlockSpec((1, K, Dt), lambda t: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((B, 128), lambda t: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 128), out_dtype),
+        out_specs=pl.BlockSpec((1, B, 128), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NT, B, 128), out_dtype),
     )
-    return jax.jit(f)
+
+    @jax.jit
+    def run(q, d):
+        return f(q, d).min(axis=0)                # fetch stays 128 KB
+    return run
 
 
 def main():

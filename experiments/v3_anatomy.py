@@ -36,7 +36,10 @@ NROWS = NT * DT
 BIN = 128
 
 
-def make_kernel(stage: str, bin_top: int, bf16_plane: bool):
+ALPHA_I8 = (6.0 / 127.0) ** 2  # int8 plane dequant scale (U[-6,6] dims)
+
+
+def make_kernel(stage: str, bin_top: int, bf16_plane):
     def _kernel(sn_ref, V_ref, C_ref, T_ref, dn_ref, oid_ref,
                 qhi_ref, qlo_ref, qn_ref,
                 ac_ref, v_ref, at_ref, l_ref, r_ref, out_ref):
@@ -49,7 +52,14 @@ def make_kernel(stage: str, bin_top: int, bf16_plane: bool):
                 a, b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        if bf16_plane:
+        if bf16_plane == "int8":
+            # int8 MXU pass; Mosaic requires the i32 accumulator (the
+            # f32-preferred int8 dot fails remote compile, int8_probe.py)
+            qd = jax.lax.dot_general(
+                qhi_ref[:], V_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * jnp.float32(ALPHA_I8)
+        elif bf16_plane:
             qd = mm(qhi_ref[:], V_ref[:])
         else:
             V = V_ref[:]
@@ -59,6 +69,17 @@ def make_kernel(stage: str, bin_top: int, bf16_plane: bool):
         if stage == "mm":
             out_ref[:, :bins] = jax.lax.bitcast_convert_type(
                 jnp.min(qd.reshape(Bb, BIN, bins), axis=1), jnp.int32)
+            for rnd in range(1, bin_top):
+                out_ref[:, rnd * bins:(rnd + 1) * bins] = 0
+            return
+        if stage == "mmb":
+            # same single MXU pass, min-reduce on a bf16 copy of the score
+            # tile: if Mosaic packs bf16 2-per-lane on the VPU, the
+            # epilogue (the real cost of the "mm" leg) should halve
+            m = jnp.min(qd.astype(jnp.bfloat16).reshape(Bb, BIN, bins),
+                        axis=1)
+            out_ref[:, :bins] = jax.lax.bitcast_convert_type(
+                m.astype(jnp.float32), jnp.int32)
             for rnd in range(1, bin_top):
                 out_ref[:, rnd * bins:(rnd + 1) * bins] = 0
             return
@@ -106,8 +127,13 @@ def scan(Vp, C, T, dn, oid, qV, ac, v, at, l, r, sn,
     out_w = bin_top * bins
     nb = B // BB
     qf32 = qV.astype(jnp.float32)
-    qhi = qf32.astype(jnp.bfloat16)
-    qlo = (qf32 - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if plane == "int8":
+        qhi = jnp.clip(jnp.round(qf32 * (127.0 / 6.0)), -127, 127
+                       ).astype(jnp.int8)
+        qlo = jnp.zeros_like(qhi)
+    else:
+        qhi = qf32.astype(jnp.bfloat16)
+        qlo = (qf32 - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
     qn = jnp.sum(qf32 * qf32, axis=1, keepdims=True)
 
     tile_row = lambda i, b, *_: (i, 0)
@@ -184,8 +210,11 @@ def main():
     np.asarray(jnp.sum(Vp))
     GB = NROWS * 512 / 1e9
 
+    Vi8 = jnp.clip(jnp.round(Vp * (127.0 / 6.0)), -127, 127).astype(jnp.int8)
+
     def timeit(name, stage, bin_top, plane):
-        db = (Vb if plane else Vp, C, T, dn, oid)
+        Vsel = Vi8 if plane == "int8" else (Vb if plane else Vp)
+        db = (Vsel, C, T, dn, oid)
         t0 = time.perf_counter()
         np.asarray(group(db, qGs[0], ac, v, at, l, r, sn,
                          stage=stage, bin_top=bin_top, plane=plane))
@@ -212,6 +241,9 @@ def main():
         ("bf16 mm (1-pass)", "mm", 1, True),
         ("bf16 full R2", "full", 2, True),
         ("bf16 full R4", "full", 4, True),
+        ("int8 mm (1-pass)", "mm", 1, "int8"),
+        ("int8 full R2", "full", 2, "int8"),
+        ("bf16 mm+bf16min", "mmb", 1, True),
     ]
     for name, stage, bin_top, plane in specs:
         try:

@@ -72,6 +72,30 @@ def make_kernel(stage: str, bin_top: int, bf16_plane):
             for rnd in range(1, bin_top):
                 out_ref[:, rnd * bins:(rnd + 1) * bins] = 0
             return
+        if stage.startswith("mmc"):
+            # chunked MXU→min pipeline: dot CH columns at a time and
+            # min-reduce each chunk immediately, so the (Bb, Dt) f32
+            # score tile never materializes whole — probes whether the
+            # VMEM round-trip of the full tile is the "mm" leg's cost
+            CH = int(stage[3:])
+            nch = Dt // CH
+            bch = CH // BIN
+            for c in range(nch):
+                Vc = V_ref[pl.ds(c * CH, CH), :]
+                if bf16_plane == "int8":
+                    qd_c = jax.lax.dot_general(
+                        qhi_ref[:], Vc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                else:
+                    qd_c = mm(qhi_ref[:], Vc)
+                out_ref[:, c * bch:(c + 1) * bch] = (
+                    jax.lax.bitcast_convert_type(
+                        jnp.min(qd_c.reshape(Bb, BIN, bch), axis=1),
+                        jnp.int32))
+            for rnd in range(1, bin_top):
+                out_ref[:, rnd * bins:(rnd + 1) * bins] = 0
+            return
         if stage == "mmb":
             # same single MXU pass, min-reduce on a bf16 copy of the score
             # tile: if Mosaic packs bf16 2-per-lane on the VPU, the
@@ -244,6 +268,8 @@ def main():
         ("int8 mm (1-pass)", "mm", 1, "int8"),
         ("int8 full R2", "full", 2, "int8"),
         ("bf16 mm+bf16min", "mmb", 1, True),
+        ("bf16 mm chunked 2048", "mmc2048", 1, True),
+        ("bf16 mm chunked 4096", "mmc4096", 1, True),
     ]
     for name, stage, bin_top, plane in specs:
         try:

@@ -406,7 +406,8 @@ class PagedEngine:
             qn = np.einsum(
                 "md,md->m", qs.V.astype(np.float64), qs.V.astype(np.float64)
             ).astype(np.float32)
-            t = dists_out[:, k - 1]
+            # real queries only: dists_out carries m_pad rows (batch padding)
+            t = dists_out[: qs.m, k - 1]
             thr = t + (
                 self._rel_mm * (qn + dn_max) + _CERT_REL_T * t + _CERT_ABS
             )

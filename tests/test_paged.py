@@ -85,3 +85,15 @@ def test_paged_registry():
     from hvq_tpu.models.registry import get_engine
 
     assert get_engine("paged") is PagedEngine
+
+
+def test_paged_ragged_query_count(small_ds):
+    # m=50 not a multiple of query_batch=32: the certificate threshold must
+    # be computed over the REAL queries only, not the padded batch rows
+    # (regression: (m,) qn broadcast against (m_pad,) k-th distances)
+    qs = generate_queries(50, seed=23, categories=20)
+    eng = PagedEngine(
+        small_ds, db_tile=256, query_batch=32, window_rows=512
+    )
+    assert eng.certified and eng.bin_top is not None
+    _check(eng, small_ds, qs)

@@ -295,6 +295,7 @@ def rerun_suspect_ladder(
     if deeper is not None:
         for sel0, sel, Br in batches(idx):
             b_b, d_b = run(sel, "xla_packed", deeper)
+            common.prefetch_host((b_b, d_b) if dists_out is not None else (b_b,))
             b_np = np.asarray(b_b).reshape(Br, kw)[: sel0.size]
             fixed = b_np[:, -1] == 0
             ids_raw[sel0[fixed]] = b_np[fixed][:, :-1]
@@ -308,6 +309,7 @@ def rerun_suspect_ladder(
     idx2 = np.concatenate(still_q) if still_q else idx[:0]
     for sel0, sel, Br in batches(idx2):
         b_b, d_b = run(sel, "xla", None)
+        common.prefetch_host((b_b, d_b) if dists_out is not None else (b_b,))
         b_np = np.asarray(b_b).reshape(Br, kw)[: sel0.size]
         ids_raw[sel0] = b_np[:, :-1]
         if dists_out is not None:
@@ -787,6 +789,10 @@ class BatchedEngine:
                 pending.append((s, e, b_b, d_b))
                 s = e
         with maybe_phase(phases, "search/fetch"):
+            common.prefetch_host(
+                x for _, _, b_b, d_b in pending
+                for x in ((b_b, d_b) if return_dists else (b_b,))
+            )
             for s, e, b_b, d_b in pending:
                 bundle_raw[s:e] = np.asarray(b_b).reshape(e - s, kw)
                 if return_dists:

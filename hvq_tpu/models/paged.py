@@ -390,6 +390,11 @@ class PagedEngine:
                     pending.append((s, e, out))
                     s = e
             with maybe_phase(phases, "search/fetch"):
+                common.prefetch_host(
+                    x for _, _, (ex, gid, tm) in pending
+                    for x in ((ex, gid, tm) if terms is not None
+                              else (ex, gid))
+                )
                 for s, e, (ex, gid, tm) in pending:
                     # stream width can be < k' on tiny windows (W = nt·R·bins)
                     ex = np.asarray(ex).reshape(e - s, -1)
@@ -483,6 +488,7 @@ class PagedEngine:
                     *win, jax.device_put(Qpack[pad]), sn, jnp.int32(w0),
                     kp=kp, impl="xla", bin_top=None,
                 )
+                common.prefetch_host((ex, gid))
                 ex = np.asarray(ex).reshape(Br, -1)[: sel.size]
                 gid = np.asarray(gid).reshape(Br, -1)[: sel.size]
                 # EVICT this window's packed contributions first: the

@@ -814,6 +814,10 @@ class PartitionedEngine:
         if self._cert_debug:
             self._last_cert_terms = np.zeros(qs.m, np.int32)
         with maybe_phase(phases, "search/fetch"):
+            common.prefetch_host(
+                x for _, (ids_b, d_b), _, _ in pending
+                for x in ((ids_b, d_b) if return_dists else (ids_b,))
+            )
             for batch_idx, (ids_b, d_b), B_g, is_full in pending:
                 arr = np.asarray(ids_b)
                 arr = arr.reshape(-1, arr.shape[-1])
@@ -880,6 +884,9 @@ class PartitionedEngine:
                     *varg, *map(jnp.asarray, a), *scalars,
                     k=k, bin_top=deeper, level2=False,
                 )
+                common.prefetch_host(
+                    (b_b, d_b) if dists_out is not None else (b_b,)
+                )
                 b_np = np.asarray(b_b)[: sel.size]
                 ids_np, sus_b = unbundle_ids(b_np, k, self._id_mode)
                 fixed = ~sus_b
@@ -898,6 +905,9 @@ class PartitionedEngine:
             a = self._query_args(sel, qs, B=Br)
             ids_b, d_b = self._jit_stream(
                 *varg, *map(jnp.asarray, a), *scalars, k=k
+            )
+            common.prefetch_host(
+                (ids_b, d_b) if dists_out is not None else (ids_b,)
             )
             ids_out[sel] = np.asarray(ids_b)[: sel.size]
             if dists_out is not None:

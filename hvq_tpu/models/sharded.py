@@ -498,6 +498,10 @@ class ShardedEngine:
                 pending.append((s, e, b_b, d_b))
                 s = e
         with maybe_phase(phases, "search/fetch"):
+            common.prefetch_host(
+                x for _, _, b_b, d_b in pending
+                for x in ((b_b, d_b) if return_dists else (b_b,))
+            )
             for s, e, b_b, d_b in pending:
                 bundle_raw[s:e] = np.asarray(b_b).reshape(e - s, kw)
                 if return_dists:

@@ -426,7 +426,7 @@ def prefetch_host(arrays) -> None:
         try:
             copy()
         except Exception:   # interpret-mode / committed-host arrays
-            return
+            continue        # per-array best-effort: keep pipelining the rest
 
 
 def tail_block_np(V: np.ndarray, t: int = 128) -> np.ndarray:

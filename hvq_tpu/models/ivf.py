@@ -314,6 +314,11 @@ class IVFEngine:
                         )
                     pending.append((batch_idx, out))
         with maybe_phase(phases, "search/fetch"):
+            common.prefetch_host(
+                a
+                for _, (ids_b, d_b) in pending
+                for a in ((ids_b, d_b) if return_dists else (ids_b,))
+            )
             for batch_idx, (ids_b, d_b) in pending:
                 ids_out[batch_idx] = np.asarray(ids_b)[
                     : batch_idx.size

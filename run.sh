@@ -25,19 +25,28 @@ echo "== generating D=$N Q=$M (discretized C) =="
 python -m hvq_tpu.cli gen-data "$DIR/data.bin" "$N" --categories 100
 python -m hvq_tpu.cli gen-queries "$DIR/query.bin" "$M" --categories 100
 
-for ENGINE in oracle batched sharded partitioned ivf; do
+# ALL 7 shipped engines pass through the differential driver (reference
+# run.sh:9-18 runs every engine it ships). paged gets a small window so the
+# host-paging path runs >=2 windows even at D=10^4; partitioned_sharded
+# runs on whatever devices the host exposes (1-device mesh is valid).
+for ENGINE in oracle batched sharded partitioned partitioned_sharded paged ivf; do
+  EXTRA=()
+  if [[ "$ENGINE" == "paged" ]]; then
+    EXTRA=(--engine-opt "window_rows=$(( N / 2 < 4096 ? 4096 : N / 2 ))")
+  fi
   echo "== engine: $ENGINE =="
   python -m hvq_tpu.cli run \
     --data "$DIR/data.bin" --queries "$DIR/query.bin" \
     --engine "$ENGINE" --output "$DIR/$ENGINE.bin" \
-    --cache-dir /tmp/jax_bench_cache "${PLATFORM_FLAG[@]}" \
+    --cache-dir /tmp/jax_bench_cache "${PLATFORM_FLAG[@]}" "${EXTRA[@]}" \
     > "$DIR/logs/$ENGINE.txt" 2>&1 || { tail -5 "$DIR/logs/$ENGINE.txt"; exit 1; }
   tail -2 "$DIR/logs/$ENGINE.txt"
 done
 
 echo "== differential comparison (exact engines) =="
 python -m hvq_tpu.cli compare \
-  "$DIR/oracle.bin" "$DIR/batched.bin" "$DIR/sharded.bin" "$DIR/partitioned.bin"
+  "$DIR/oracle.bin" "$DIR/batched.bin" "$DIR/sharded.bin" \
+  "$DIR/partitioned.bin" "$DIR/partitioned_sharded.bin" "$DIR/paged.bin"
 
 echo "== ivf recall vs oracle =="
 python - "$DIR" <<'EOF'

@@ -249,6 +249,73 @@ def _check_fields(ds, qs, ids, dists, oracle: OracleThread):
     }
 
 
+def _recompute_dist_chunked(ds, qs, ids, chunk: int = 2048):
+    """Chunked .dist recompute (io.h:50-78 semantics) — the one-shot
+    einsum gathers (M, k, 100) floats, 1.6 GB at Q=4·10⁴; 2048-query
+    chunks keep the host peak ≈80 MB."""
+    import numpy as np
+
+    from hvq_tpu.utils.formats import recompute_result_distances
+
+    ids = np.asarray(ids, dtype=np.int64)
+    out = np.empty(ids.shape, np.float32)
+    for s in range(0, ids.shape[0], chunk):
+        e = min(s + chunk, ids.shape[0])
+        sub = type(qs)(
+            qtype=qs.qtype[s:e], v=qs.v[s:e], l=qs.l[s:e], r=qs.r[s:e],
+            V=qs.V[s:e],
+        )
+        out[s:e] = recompute_result_distances(ds, sub, ids[s:e])
+    return out
+
+
+def _full_diff_fields(ds, qs, ids, engine_name, engine_kwargs, timer):
+    """Full-population differential verification (VERDICT r4 #1).
+
+    The reference never publishes a number whose every query wasn't
+    cross-checked (run.sh:8-18 → compare_data.cpp:96-108 over complete
+    .dist files). A host oracle over all queries is hours at D=10⁷, but an
+    ENGINE-vs-ENGINE comparison is the reference's own strategy: re-answer
+    the full query set through an independent code path (different engine,
+    fp32 scan plane) and compare ALL recomputed .dist rows under 0.002.
+    """
+    import gc
+
+    from hvq_tpu.models.registry import get_engine
+    from hvq_tpu.utils.compare import compare_distances
+
+    partner = "batched" if engine_name != "batched" else "partitioned"
+    kw = {
+        k: v
+        for k, v in engine_kwargs.items()
+        if k not in ("scan_store", "time_view_max_bytes")
+    }
+    gc.collect()                       # primary engine's HBM freed by caller
+    with timer.phase("full_diff_build"):
+        eng2 = get_engine(partner)(ds, **kw)
+    import inspect
+
+    kw2 = (
+        {"return_dists": False}
+        if "return_dists" in inspect.signature(eng2.search).parameters
+        else {}
+    )
+    with timer.phase("full_diff_search"):
+        ids2, _ = eng2.search(qs, **kw2)
+    del eng2
+    gc.collect()
+    with timer.phase("full_diff_compare"):
+        d1 = _recompute_dist_chunked(ds, qs, ids)
+        d2 = _recompute_dist_chunked(ds, qs, ids2)
+        res = compare_distances(d1, d2)
+    return {
+        "full_diff": res.status,
+        "full_diff_max": res.max_abs_diff,
+        "full_diff_queries": int(ids.shape[0]),
+        "full_diff_engines": [engine_name, f"{partner}_fp32"],
+    }
+
+
 # --- one measurement attempt ------------------------------------------------
 
 def attempt(engine_name: str) -> None:
@@ -491,6 +558,24 @@ def attempt(engine_name: str) -> None:
         if fields:
             record.update(fields)
             print(json.dumps(record), flush=True)
+
+    if (
+        os.environ.get("HVQ_BENCH_FULLDIFF", "1") != "0"
+        and "dtype" not in engine_kwargs        # bf16 mode is approximate
+    ):
+        # Full-population cross-engine differential (reference run.sh:8-18
+        # practice at bench scale). Failures here can't erase the official
+        # line — it is already printed; a passing check prints an ENRICHED
+        # superset line carrying full_diff over ALL queries.
+        try:
+            del engine                 # release the primary engine's HBM
+            fields = _full_diff_fields(
+                ds, qs, np.asarray(ids), engine_name, engine_kwargs, timer
+            )
+            record.update(fields)
+            print(json.dumps(record), flush=True)
+        except Exception as e:  # noqa: BLE001 — verification is best-effort
+            print(f"full_diff failed: {e!r}", file=sys.stderr)
 
     log = os.environ.get("HVQ_BENCH_LOG")
     if log:

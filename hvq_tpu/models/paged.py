@@ -18,14 +18,23 @@ and streams it through HBM in window-sized slabs:
 
 Exactness mirrors the resident engines, with the window twist that the
 certificate threshold needs the FINAL k-th distance, known only after the
-last window: per-(window, batch) saturation terms (bin-after-repair,
-level-2, k'-cut) are fetched as three floats per query and compared against
-``t_final + slack`` at the end. Refinement happened while the window was
-resident, so a flag re-uploads ONLY the flagged window and re-runs the
-streaming-exact scan (no bin reduce — certified by construction) for the
-compacted suspect queries; the packed results it merges with are a subset
-of the truth (exact distances, possibly missing candidates), so the union
-restores exactness.
+last window. Rather than re-uploading flagged windows afterwards (the r4
+design — measured 259 s of re-upload wire in a 710 s D=2.5·10⁷ search,
+a 1.36× multiplier on a mode whose whole cost model is upload bytes,
+VERDICT r4 #4), suspects are resolved WHILE THE WINDOW IS STILL RESIDENT
+against a RUNNING threshold: after merging window w, the current k-th
+best distance t_w is an upper bound on t_final (later windows only
+improve it), and with the row-norm slack taken over the WHOLE database
+up front (``_dn_max_bound``), thr(t_w) ≥ thr(t_final) — so every query
+the final check would flag is already flagged at window w. Flagged
+(window, query) pairs re-run the streaming-exact scan (no bin reduce —
+certified by construction) on the resident window in compacted pow-2
+batches; the union with the packed results restores exactness (packed
+candidates are exact distances, merely possibly incomplete). Zero
+re-upload wire by construction. The conservatism is mild: early windows
+use a slightly loose t (their own k-th best), and queries with fewer
+than k predicate matches keep t = +inf and pay one exact rung per
+window — both compute-only, on a mode that is wire-bound.
 
 One full pass over the database serves ALL queries (bandwidth-optimal: the
 window upload amortizes over every batch). Throughput is upload-bound by
@@ -166,6 +175,26 @@ class PagedEngine:
             self._scan_window_group,
             static_argnames=("kp", "impl", "bin_top", "level2"),
         )
+        self._dn_max: float | None = None
+
+    def _dn_max_bound(self) -> float:
+        """Upper bound on max‖d‖² over the WHOLE database (host, chunked).
+
+        The running-threshold certificate (see module docstring) compares
+        window-w terms against thr(t_w) BEFORE later windows are seen, so
+        the ‖d‖²-dependent slack term must already cover every row. One
+        float64 pass at first certified search, cached on the engine.
+        """
+        if self._dn_max is None:
+            m = 0.0
+            V = self.ds.V
+            for s in range(0, V.shape[0], 1 << 20):
+                c = np.asarray(V[s : s + (1 << 20)], np.float64)
+                m = max(m, float(np.einsum("nd,nd->n", c, c).max()))
+            self._dn_max = float(
+                np.nextafter(np.float32(m), np.float32(np.inf))
+            )
+        return self._dn_max
 
     # --- jitted per-window core -------------------------------------------
     def _scan_window(
@@ -359,19 +388,18 @@ class PagedEngine:
         nb = m_pad // B
         best_d = np.full((m_pad, kp), np.inf, np.float32)
         best_g = np.zeros((m_pad, kp), np.int64)
-        terms = (
-            np.full((len(self.windows), m_pad, 3), np.inf, np.float32)
-            if self.certified and self.scan_impl != "xla"
-            else None
-        )
-        dn_max = 0.0
+        certified = self.certified and self.scan_impl != "xla"
+        if certified:
+            dn_max = self._dn_max_bound()
+            qn = np.einsum(
+                "md,md->m", qs.V.astype(np.float64), qs.V.astype(np.float64)
+            ).astype(np.float32)
         impl = self.scan_impl
         for wi, (w0, wlen) in enumerate(self.windows):
             with maybe_phase(phases, "search/window_upload"):
                 win = self._upload_window(w0, wlen)
-                if self.certified:
-                    dn_max = max(dn_max, float(jnp.max(win[4])))
             pending = []
+            terms_w = np.full((m_pad, 3), np.inf, np.float32)
             with maybe_phase(phases, "search/enqueue"):
                 s = 0
                 for G in dispatch_plan(nb, self.dispatch_group):
@@ -392,39 +420,44 @@ class PagedEngine:
             with maybe_phase(phases, "search/fetch"):
                 common.prefetch_host(
                     x for _, _, (ex, gid, tm) in pending
-                    for x in ((ex, gid, tm) if terms is not None
-                              else (ex, gid))
+                    for x in ((ex, gid, tm) if certified else (ex, gid))
                 )
                 for s, e, (ex, gid, tm) in pending:
                     # stream width can be < k' on tiny windows (W = nt·R·bins)
                     ex = np.asarray(ex).reshape(e - s, -1)
                     gid = np.asarray(gid).reshape(e - s, -1)
                     self._merge(best_d, best_g, s, e, ex, gid)
-                    if terms is not None:
-                        terms[wi, s:e] = np.asarray(tm).reshape(e - s, 3)
+                    if certified:
+                        terms_w[s:e] = np.asarray(tm).reshape(e - s, 3)
+            if certified:
+                # Running-threshold certificate (module docstring): t_w =
+                # current k-th best ≥ t_final and dn_max covers all rows,
+                # so thr(t_w) ≥ thr(t_final) — any query the final check
+                # would flag for THIS window is flagged here, and resolved
+                # while the window is still resident (no re-upload, ever).
+                # Queries with < k finite candidates keep t_w = +inf and
+                # conservatively re-run exact (their pad-to-k distances
+                # are unknowable before the last window).
+                t_w = np.partition(best_d[: qs.m], k - 1, axis=1)[:, k - 1]
+                thr = t_w + (
+                    self._rel_mm * (qn + dn_max)
+                    + _CERT_REL_T * t_w
+                    + _CERT_ABS
+                )
+                thr = np.where(np.isfinite(t_w), thr, np.inf)
+                sus = np.nonzero(
+                    (terms_w[: qs.m] < thr[:, None]).any(axis=1)
+                )[0]
+                if sus.size:
+                    with maybe_phase(phases, "search/rerun"):
+                        self._rerun_resident(
+                            win, w0, wlen, sus, Qpack, sn, kp,
+                            best_d, best_g,
+                        )
             del win, pending
 
         with maybe_phase(phases, "search/finalize"):
             ids_out, dists_out = self._finalize_host(best_d, best_g, qs, k)
-
-        if terms is not None:
-            qn = np.einsum(
-                "md,md->m", qs.V.astype(np.float64), qs.V.astype(np.float64)
-            ).astype(np.float32)
-            # real queries only: dists_out carries m_pad rows (batch padding)
-            t = dists_out[: qs.m, k - 1]
-            thr = t + (
-                self._rel_mm * (qn + dn_max) + _CERT_REL_T * t + _CERT_ABS
-            )
-            sus_wq = (terms[:, : qs.m] < thr[None, :, None]).any(axis=2)
-            if sus_wq.any():
-                with maybe_phase(phases, "search/rerun"):
-                    self._rerun(
-                        sus_wq, Q_dev, Qpack, sn, kp, best_d, best_g
-                    )
-                ids_out, dists_out = self._finalize_host(
-                    best_d, best_g, qs, k
-                )
         return (
             ids_out[: qs.m].astype(np.uint32),
             dists_out[: qs.m] if return_dists else None,
@@ -467,41 +500,36 @@ class PagedEngine:
             np.take_along_axis(sel_d, order2, axis=1),
         )
 
-    def _rerun(self, sus_wq, Q_dev, Qpack, sn, kp, best_d, best_g):
-        """Streaming-exact re-scan of each flagged window for its flagged
-        queries (compacted pow-2 batches). The union with the packed
-        results restores exactness: packed candidates are exact distances,
-        merely possibly incomplete."""
+    def _rerun_resident(
+        self, win, w0, wlen, q_idx, Qpack, sn, kp, best_d, best_g
+    ):
+        """Streaming-exact re-scan of the STILL-RESIDENT window for its
+        flagged queries (compacted pow-2 batches) — the zero-re-upload
+        rerun the running-threshold certificate enables. The union with
+        the packed results restores exactness: packed candidates are
+        exact distances, merely possibly incomplete."""
         B = self.query_batch
-        for wi, (w0, wlen) in enumerate(self.windows):
-            q_idx = np.nonzero(sus_wq[wi])[0]
-            if not q_idx.size:
-                continue
-            win = self._upload_window(w0, wlen)
-            for s in range(0, q_idx.size, B):
-                sel = q_idx[s : s + B]
-                Br = _pow2_batch(sel.size, B)
-                pad = np.concatenate(
-                    [sel, np.repeat(sel[:1], Br - sel.size)]
-                )
-                ex, gid, _ = self._jit_window(
-                    *win, jax.device_put(Qpack[pad]), sn, jnp.int32(w0),
-                    kp=kp, impl="xla", bin_top=None,
-                )
-                common.prefetch_host((ex, gid))
-                ex = np.asarray(ex).reshape(Br, -1)[: sel.size]
-                gid = np.asarray(gid).reshape(Br, -1)[: sel.size]
-                # EVICT this window's packed contributions first: the
-                # stream result is the window's complete exact top-k', so
-                # a plain union would duplicate ids (both sides carry the
-                # same rows). Sound because k' >= k bounds any single
-                # window's useful contribution.
-                bd = best_d[sel].copy()
-                bg = best_g[sel].copy()
-                bd[(bg >= w0) & (bg < w0 + wlen)] = np.inf
-                cat_d = np.concatenate([bd, ex], axis=1)
-                cat_g = np.concatenate([bg, gid.astype(np.int64)], axis=1)
-                ss = np.argpartition(cat_d, kp - 1, axis=1)[:, :kp]
-                best_d[sel] = np.take_along_axis(cat_d, ss, axis=1)
-                best_g[sel] = np.take_along_axis(cat_g, ss, axis=1)
-            del win
+        for s in range(0, q_idx.size, B):
+            sel = q_idx[s : s + B]
+            Br = _pow2_batch(sel.size, B)
+            pad = np.concatenate([sel, np.repeat(sel[:1], Br - sel.size)])
+            ex, gid, _ = self._jit_window(
+                *win, jax.device_put(Qpack[pad]), sn, jnp.int32(w0),
+                kp=kp, impl="xla", bin_top=None,
+            )
+            common.prefetch_host((ex, gid))
+            ex = np.asarray(ex).reshape(Br, -1)[: sel.size]
+            gid = np.asarray(gid).reshape(Br, -1)[: sel.size]
+            # EVICT this window's packed contributions first: the
+            # stream result is the window's complete exact top-k', so
+            # a plain union would duplicate ids (both sides carry the
+            # same rows). Sound because k' >= k bounds any single
+            # window's useful contribution.
+            bd = best_d[sel].copy()
+            bg = best_g[sel].copy()
+            bd[(bg >= w0) & (bg < w0 + wlen)] = np.inf
+            cat_d = np.concatenate([bd, ex], axis=1)
+            cat_g = np.concatenate([bg, gid.astype(np.int64)], axis=1)
+            ss = np.argpartition(cat_d, kp - 1, axis=1)[:, :kp]
+            best_d[sel] = np.take_along_axis(cat_d, ss, axis=1)
+            best_g[sel] = np.take_along_axis(cat_g, ss, axis=1)

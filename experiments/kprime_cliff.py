@@ -110,13 +110,20 @@ def main():
     if not E2E:
         return
     # end-to-end cliff reproduction under the shipped flagship config
+    import gc
+
+    from hvq_tpu.index.partition import PartitionedIndex
     from hvq_tpu.models.partitioned import PartitionedEngine
     from hvq_tpu.utils.generators import generate_dataset, generate_queries
 
     ds = generate_dataset(N, seed=0, categories=1000)
     qs = generate_queries(8192, seed=7, categories=1000, centers_seed=0)
-    for kp in (240, 256):
-        eng = PartitionedEngine(ds, scan_store="bf16", kprime=kp)
+    # one shared device index: k' is engine-side; per-engine rebuilds OOM
+    # the chip while the previous engine's buffers drain
+    index = PartitionedIndex.build(ds, db_tile=16384, scan_store="bf16")
+    for kp in (240, 256, 240, 256):
+        gc.collect()
+        eng = PartitionedEngine(ds, index=index, kprime=kp)
         eng.search(qs, return_dists=False)          # warm
         walls = []
         for _ in range(3):

@@ -34,15 +34,23 @@ TOPS = tuple(int(x) for x in os.environ.get("VRA_TOPS", "3,2,4").split(","))
 
 
 def main():
+    import gc
+
+    from hvq_tpu.index.partition import PartitionedIndex
     from hvq_tpu.models.partitioned import PartitionedEngine
     from hvq_tpu.utils.generators import generate_dataset, generate_queries
     from hvq_tpu.utils.timing import PhaseTimer
 
     ds = generate_dataset(N, seed=0, categories=1000)
     qs = generate_queries(M, seed=7, categories=1000, centers_seed=0)
+    # ONE device index shared by every bin_top (bin_top is scan-side only;
+    # a per-engine rebuild both wastes minutes and OOMs the chip while the
+    # previous engine's buffers drain)
+    index = PartitionedIndex.build(ds, db_tile=16384, scan_store="bf16")
 
     for bt in TOPS:
-        eng = PartitionedEngine(ds, scan_store="bf16", bin_top=bt)
+        gc.collect()
+        eng = PartitionedEngine(ds, index=index, bin_top=bt)
         eng.search(qs, return_dists=False)          # warm
         eng.search(qs, return_dists=False)
         walls, flags = [], []

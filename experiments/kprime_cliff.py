@@ -109,8 +109,13 @@ def main():
 
     if not E2E:
         return
+    # free the ~2 GB of microbench device arrays before the 10⁷-row index
+    # build (they OOM the chip otherwise)
+    del out_s, out_i, d2, plane, qV, pos
     # end-to-end cliff reproduction under the shipped flagship config
     import gc
+
+    gc.collect()
 
     from hvq_tpu.index.partition import PartitionedIndex
     from hvq_tpu.models.partitioned import PartitionedEngine

@@ -16,6 +16,7 @@ repair demotion traded away; models/batched.py docstring).
     PYTHONPATH=/root/repo python experiments/serving_latency.py
     SL_N=10000000 SL_CALLS=100 PYTHONPATH=/root/repo python ...
 """
+import gc
 import os
 import time
 
@@ -27,6 +28,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 N = int(os.environ.get("SL_N", 1_000_000))
 CALLS = int(os.environ.get("SL_CALLS", 200))
 ENGINES = os.environ.get("SL_ENGINES", "batched,partitioned").split(",")
+# serving-standard shape warmup: run this many untimed calls (disjoint
+# query stream) before timing, so the routed engine's per-dispatch-plan
+# program shapes are compiled at "deploy" rather than inside the p99
+# (measured: cold shapes cost ~7 s each through the remote compiler)
+WARM = int(os.environ.get("SL_WARM", 0))
 
 os.environ.setdefault("HVQ_CERT_TERMS", "1")
 
@@ -62,7 +68,8 @@ def main():
 
     ds = generate_dataset(N, seed=0, categories=1000)
     qs = generate_queries(
-        max(CALLS * 16, 2048), seed=11, categories=1000, centers_seed=0
+        max((CALLS + WARM + 3) * 16, 2048), seed=11, categories=1000,
+        centers_seed=0,
     )
     store = {"scan_store": "bf16"} if N >= 4_000_000 else {}
 
@@ -77,6 +84,14 @@ def main():
         eng.search(one_query(qs, 0), return_dists=False)
 
         for B in (1, 16):
+            base = 16 * (2 + CALLS)  # disjoint from the timed stream
+            for w in range(WARM):
+                qw = (
+                    one_query(qs, base + w)
+                    if B == 1
+                    else sub(qs, base + 16 * w, base + 16 * (w + 1))
+                )
+                eng.search(qw, return_dists=False)
             walls, reruns = [], 0
             for c in range(CALLS):
                 q1 = (
@@ -91,7 +106,11 @@ def main():
                 if terms is not None and (terms != 0).any():
                     reruns += 1
             stats(f"{name:12s} N={N} B={B:2d}", walls, reruns)
+        # at N=10^7 a second engine's index build OOMs the chip while the
+        # first engine's buffers drain (the kprime_cliff.py mechanism) —
+        # free eagerly, and prefer one engine per process at that scale
         del eng
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -85,6 +85,17 @@ def main():
 
         for B in (1, 16):
             base = 16 * (2 + CALLS)  # disjoint from the timed stream
+            if WARM and B == 1:
+                # the routed engine's single-query plan shape depends on
+                # the query TYPE (type-2 wide windows compile their own
+                # program); a type the warmup never saw is a multi-second
+                # cold compile inside the timed stream's max — warm one
+                # query of EACH type first
+                for t in range(4):
+                    hits = np.flatnonzero(np.asarray(qs.qtype[base:]) == t)
+                    if hits.size:
+                        eng.search(one_query(qs, base + int(hits[0])),
+                                   return_dists=False)
             for w in range(WARM):
                 qw = (
                     one_query(qs, base + w)

@@ -291,8 +291,19 @@ def _full_diff_fields(ds, qs, ids, engine_name, engine_kwargs, timer):
         if k not in ("scan_store", "time_view_max_bytes")
     }
     gc.collect()                       # primary engine's HBM freed by caller
-    with timer.phase("full_diff_build"):
-        eng2 = get_engine(partner)(ds, **kw)
+    # Back-to-back D=10⁷ index builds can still hit RESOURCE_EXHAUSTED
+    # while the freed primary's buffers drain through the relay (the
+    # kprime_cliff.py mechanism) — bounded retry instead of giving up.
+    for att in range(3):
+        try:
+            with timer.phase("full_diff_build"):
+                eng2 = get_engine(partner)(ds, **kw)
+            break
+        except Exception as e:  # noqa: BLE001
+            if att == 2 or "RESOURCE_EXHAUSTED" not in repr(e):
+                raise
+            time.sleep(45.0)
+            gc.collect()
     import inspect
 
     kw2 = (
@@ -568,7 +579,11 @@ def attempt(engine_name: str) -> None:
         # line — it is already printed; a passing check prints an ENRICHED
         # superset line carrying full_diff over ALL queries.
         try:
-            del engine                 # release the primary engine's HBM
+            # release the primary engine's HBM: `engine` AND the
+            # forensics locals that alias the inner engine — `_inner`
+            # alone pins the whole D=10⁷ device index through the
+            # partner build (found via a failed flagship full_diff leg)
+            del engine, _inner, _terms
             fields = _full_diff_fields(
                 ds, qs, np.asarray(ids), engine_name, engine_kwargs, timer
             )

@@ -21,7 +21,11 @@ export HVQ_BENCH_NO_FALLBACK=1
 run() { # name env...
   local name="$1"; shift
   echo "=== $name ===" >&2
-  env "$@" timeout 2400 python bench.py 2>&1 | grep -E '^\{"metric"' | tail -1
+  # full per-row output (incl. stderr: phase timers, full_diff failures)
+  # preserved — a grep-only pipe once swallowed the one line that said
+  # why the flagship full_diff leg failed
+  env "$@" timeout 2400 python bench.py > "/tmp/ht_row_${name}.log" 2>&1
+  grep -E '^\{"metric"' "/tmp/ht_row_${name}.log" | tail -1
 }
 
 # large D=10^7 mixed, flagship (bf16 scan plane is the >=4M-row default)

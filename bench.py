@@ -302,6 +302,16 @@ def _full_diff_fields(ds, qs, ids, engine_name, engine_kwargs, timer):
         except Exception as e:  # noqa: BLE001
             if att == 2 or "RESOURCE_EXHAUSTED" not in repr(e):
                 raise
+            # name the pin: what device buffers are still alive?
+            import jax
+
+            live = jax.live_arrays()
+            by = sum(a.nbytes for a in live)
+            print(
+                f"full_diff_build OOM (attempt {att + 1}): "
+                f"{len(live)} live device arrays, {by / 1e9:.2f} GB",
+                file=sys.stderr,
+            )
             time.sleep(45.0)
             gc.collect()
     import inspect
@@ -579,11 +589,14 @@ def attempt(engine_name: str) -> None:
         # line — it is already printed; a passing check prints an ENRICHED
         # superset line carrying full_diff over ALL queries.
         try:
-            # release the primary engine's HBM: `engine` AND the
-            # forensics locals that alias the inner engine — `_inner`
-            # alone pins the whole D=10⁷ device index through the
-            # partner build (found via a failed flagship full_diff leg)
-            del engine, _inner, _terms
+            # release the primary engine's HBM: `engine` AND every local
+            # that aliases the inner engine — `_inner` alone, and then
+            # the `base_search` bound method (its __self__ IS the inner
+            # engine), each pinned the whole D=10⁷ device index through
+            # the partner build (both found via failed flagship
+            # full_diff legs: RESOURCE_EXHAUSTED on the partner build
+            # despite its bounded retry)
+            del engine, _inner, _terms, base_search
             fields = _full_diff_fields(
                 ds, qs, np.asarray(ids), engine_name, engine_kwargs, timer
             )

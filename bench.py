@@ -285,10 +285,27 @@ def _full_diff_fields(ds, qs, ids, engine_name, engine_kwargs, timer):
     from hvq_tpu.utils.compare import compare_distances
 
     partner = "batched" if engine_name != "batched" else "partitioned"
+    # Memory-driven partner selection: a whole-index fp32 batched partner
+    # holds TWO full vector planes (scan + refine gather) plus the scan
+    # program's temps — measured 16.1 GB total at D=10⁷ (arguments 9.66 G
+    # + 6.19 G HLO temps) against 15.75 G HBM, an OOM no build-retry can
+    # fix. Above the fit line the partner is the PagedEngine: fp32,
+    # host-paged windows, bounded HBM by construction, and still an
+    # independent code path (different engine, different scan plane).
+    vec_bytes = int(ds.V.shape[0]) * int(ds.V.shape[1]) * 4
+    if partner == "batched" and vec_bytes > 3.8e9:
+        partner = "paged"
     kw = {
         k: v
         for k, v in engine_kwargs.items()
         if k not in ("scan_store", "time_view_max_bytes")
+    }
+    import inspect as _inspect
+
+    kw = {
+        k: v
+        for k, v in kw.items()
+        if k in _inspect.signature(get_engine(partner).__init__).parameters
     }
     gc.collect()                       # primary engine's HBM freed by caller
     # Back-to-back D=10⁷ index builds can still hit RESOURCE_EXHAUSTED
